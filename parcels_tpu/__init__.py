@@ -1,0 +1,121 @@
+"""parcels_tpu — a TPU-native Lagrangian ocean particle-advection framework.
+
+A ground-up JAX/XLA/Pallas redesign with the capabilities of Parcels
+(Parcels-code/Parcels v4): gridded ocean-model velocity fields in, composable
+advection/diffusion kernels over millions of particles, trajectories out —
+with the whole time-stepping hot loop compiled to a single XLA program per
+output interval, and scaling across TPU meshes via jax.sharding.
+
+Quick start::
+
+    import numpy as np
+    from parcels_tpu import FieldSet, ParticleSet, ParticleFile
+    from parcels_tpu.kernels import AdvectionRK4
+    from parcels_tpu.datasets import radial_rotation_dataset
+
+    fs = FieldSet.from_sgrid_conventions(radial_rotation_dataset(), mesh="flat")
+    pset = ParticleSet(fs, x=[40.0], y=[30.0])
+    pset.execute(AdvectionRK4, dt=np.timedelta64(30, "s"), runtime=np.timedelta64(1, "D"))
+"""
+
+from parcels_tpu._core.field import Field, VectorField
+from parcels_tpu._core.fieldset import FieldSet
+from parcels_tpu._core.grid import XGrid
+from parcels_tpu._core.mesh import EARTH_RADIUS, FlatMesh, SphericalMesh, get_mesh
+from parcels_tpu._core.particle import Particle, ParticleClass, Variable, get_default_particle
+from parcels_tpu._core.particlefile import ParticleFile, read_particlefile
+from parcels_tpu._core.particleset import ParticleSet
+from parcels_tpu._core.statuscodes import (
+    AllParcelsErrorCodes,
+    FieldInterpolationError,
+    FieldOutOfBoundError,
+    FieldOutOfBoundSurfaceError,
+    FieldSamplingError,
+    GridSearchingError,
+    KernelError,
+    OutsideTimeInterval,
+    StatusCode,
+)
+from parcels_tpu._core.timeutils import TimeInterval
+from parcels_tpu._core.warnings_ import (
+    FieldEvalWarning,
+    FieldSetWarning,
+    FileWarning,
+    KernelWarning,
+    ParticleSetWarning,
+)
+from parcels_tpu.interpolators import (
+    CGrid_Tracer,
+    CGrid_Velocity,
+    XConstantField,
+    XFreeslip,
+    XLinear,
+    XLinearInvdistLandTracer,
+    XLinear_Velocity,
+    XNearest,
+    XPartialslip,
+)
+from parcels_tpu.kernels import (
+    AdvectionDiffusionEM,
+    AdvectionDiffusionM1,
+    AdvectionEE,
+    AdvectionRK2,
+    AdvectionRK2_3D,
+    AdvectionRK4,
+    AdvectionRK4_3D,
+    AdvectionRK45,
+    DiffusionUniformKh,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "EARTH_RADIUS",
+    "AdvectionDiffusionEM",
+    "AdvectionDiffusionM1",
+    "AdvectionEE",
+    "AdvectionRK2",
+    "AdvectionRK2_3D",
+    "AdvectionRK4",
+    "AdvectionRK4_3D",
+    "AdvectionRK45",
+    "AllParcelsErrorCodes",
+    "CGrid_Tracer",
+    "CGrid_Velocity",
+    "DiffusionUniformKh",
+    "Field",
+    "FieldEvalWarning",
+    "FieldInterpolationError",
+    "FieldOutOfBoundError",
+    "FieldOutOfBoundSurfaceError",
+    "FieldSamplingError",
+    "FieldSet",
+    "FieldSetWarning",
+    "FileWarning",
+    "FlatMesh",
+    "GridSearchingError",
+    "KernelError",
+    "KernelWarning",
+    "OutsideTimeInterval",
+    "Particle",
+    "ParticleClass",
+    "ParticleFile",
+    "ParticleSet",
+    "ParticleSetWarning",
+    "SphericalMesh",
+    "StatusCode",
+    "TimeInterval",
+    "Variable",
+    "VectorField",
+    "XConstantField",
+    "XFreeslip",
+    "XGrid",
+    "XLinear",
+    "XLinearInvdistLandTracer",
+    "XLinear_Velocity",
+    "XNearest",
+    "XPartialslip",
+    "get_default_particle",
+    "get_mesh",
+    "read_particlefile",
+]

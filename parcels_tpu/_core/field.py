@@ -1,0 +1,222 @@
+"""Field / VectorField: host containers + traced sampling views.
+
+Host side (``Field``/``VectorField``) wraps the ingested numpy 4-D data and
+its grid; device side (``FieldView``/``VectorFieldView``) is a lightweight
+struct rebuilt inside the jitted step from the static fieldset spec plus the
+traced array pytree. Sampling semantics mirror reference
+src/parcels/_core/field.py:145-403: search -> ei cache -> state escalation ->
+interpolate -> NaN state -> zero out-of-bounds samples.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from parcels_tpu._core import index_search
+from parcels_tpu._core.grid import XGrid, grid_search
+from parcels_tpu._core.particles_view import Particles
+from parcels_tpu._core.statuscodes import StatusCode
+
+__all__ = ["Field", "FieldView", "GridView", "VectorField", "VectorFieldView"]
+
+
+class Field:
+    """Host-side scalar field: name + 4-D (T,Z,Y,X) numpy data + grid + interpolator."""
+
+    def __init__(self, name: str, data: np.ndarray, grid: XGrid, interp_method=None):
+        if not name.isidentifier():
+            raise ValueError(f"Field name must be a valid identifier, got {name!r}")
+        self.name = name
+        data = np.asarray(data)
+        if data.ndim != 4:
+            raise ValueError(f"Field data must be 4-D (T, Z, Y, X); got shape {data.shape}")
+        self.data = data
+        self.grid = grid
+        self.interp_method = interp_method
+        self.igrid = -1  # assigned by FieldSet
+
+    @property
+    def time_interval(self):
+        if self.data.shape[0] <= 1:
+            return None
+        return self.grid.time_interval
+
+    def __repr__(self):
+        return f"Field(name={self.name!r}, shape={self.data.shape})"
+
+
+class VectorField:
+    """Host-side vector field referencing 2-3 component Fields."""
+
+    def __init__(self, name: str, U: Field, V: Field, W: Field | None = None, interp_method=None):
+        if interp_method is None:
+            raise ValueError("interp_method must be provided for VectorField initialization.")
+        self.name = name
+        self.U = U
+        self.V = V
+        self.W = W
+        self.grid = U.grid
+        self.interp_method = interp_method
+        self.vector_type = "3D" if W is not None else "2D"
+
+    @property
+    def igrid(self):
+        return self.U.igrid
+
+    @property
+    def time_interval(self):
+        return self.U.time_interval
+
+    def __repr__(self):
+        return f"VectorField(name={self.name!r}, {self.vector_type})"
+
+
+# ---------------------------------------------------------------------------
+# Traced views (exist only inside the jitted step)
+# ---------------------------------------------------------------------------
+
+
+class GridView:
+    __slots__ = ("spec", "garrs", "lookup_meta")
+
+    def __init__(self, spec, garrs, lookup_meta):
+        self.spec = spec
+        self.garrs = garrs
+        self.lookup_meta = lookup_meta
+
+    def search(self, z, y, x, ei=None):
+        return grid_search(self.spec, self.garrs, z, y, x, ei, self.lookup_meta)
+
+
+class FieldView:
+    __slots__ = ("name", "data", "grid", "igrid", "interp_method", "has_time")
+
+    def __init__(self, name, data, grid: GridView, igrid, interp_method, has_time):
+        self.name = name
+        self.data = data
+        self.grid = grid
+        self.igrid = igrid
+        self.interp_method = interp_method
+        self.has_time = has_time
+
+    def eval(self, t, z, y, x, particles: Particles | None = None):
+        ppos, gpos = _get_positions(self, t, z, y, x, particles)
+        value = self.interp_method.interp(ppos, gpos, self)
+        _update_state_interp_value(particles, value)
+        return _mask_oob_values(gpos, value)
+
+    def __getitem__(self, key):
+        if isinstance(key, Particles):
+            return self.eval(key.t, key.z, key.y, key.x, key)
+        return self.eval(*key)
+
+
+class VectorFieldView:
+    __slots__ = ("name", "U", "V", "W", "grid", "igrid", "interp_method", "vector_type")
+
+    def __init__(self, name, U, V, W, interp_method):
+        self.name = name
+        self.U = U
+        self.V = V
+        self.W = W
+        self.grid = U.grid
+        self.igrid = U.igrid
+        self.interp_method = interp_method
+        self.vector_type = "3D" if W is not None else "2D"
+
+    def eval(self, t, z, y, x, particles: Particles | None = None):
+        ppos, gpos = _get_positions(self.U, t, z, y, x, particles)
+        u, v, w = self.interp_method.interp(ppos, gpos, self)
+        for vel in (u, v, w):
+            _update_state_interp_value(particles, vel)
+        u = _mask_oob_values(gpos, u)
+        v = _mask_oob_values(gpos, v)
+        w = _mask_oob_values(gpos, w)
+        if self.vector_type == "3D":
+            return (u, v, w)
+        return (u, v)
+
+    def __getitem__(self, key):
+        if isinstance(key, Particles):
+            return self.eval(key.t, key.z, key.y, key.x, key)
+        return self.eval(*key)
+
+
+# ---------------------------------------------------------------------------
+# sampling plumbing (traced)
+# ---------------------------------------------------------------------------
+
+
+def _get_positions(field: FieldView, t, z, y, x, particles: Particles | None):
+    """Search time + grid, cache ei, escalate particle states (reference field.py:394-403)."""
+    spec = field.grid.spec
+    garrs = field.grid.garrs
+    t = jnp.asarray(t)
+    z = jnp.asarray(z)
+    y = jnp.asarray(y)
+    x = jnp.asarray(x)
+
+    if field.has_time:
+        ti, tau, t_oob = index_search.search_time(garrs["time"], t, spec.time_uniform)
+    else:
+        ti = jnp.zeros(jnp.shape(t), dtype=jnp.int32)
+        tau = jnp.zeros(jnp.shape(t), dtype=t.dtype)
+        t_oob = None
+
+    ei = particles._get_ei(field.igrid) if particles is not None else None
+    gpos = field.grid.search(z, y, x, ei=ei)
+    gpos["T"] = {"index": ti, "bcoord": tau}
+
+    if particles is not None:
+        _update_particles_ei(particles, gpos, field)
+        _update_state_position(particles, gpos, t_oob)
+
+    ppos = {"t": t, "z": z, "y": y, "x": x}
+    return ppos, gpos
+
+
+def _update_particles_ei(particles: Particles, gpos, field: FieldView):
+    spec = field.grid.spec
+    ydim = max(spec.ydim, 1)
+    xdim = max(spec.xdim, 1)
+    zi = jnp.clip(gpos["Z"]["index"], 0, max(spec.zdim - 1, 0))
+    yi = jnp.clip(gpos["Y"]["index"], 0, max(spec.ydim - 1, 0))
+    xi = jnp.clip(gpos["X"]["index"], 0, max(spec.xdim - 1, 0))
+    ei = (zi * ydim + yi) * xdim + xi
+    particles._set_ei(field.igrid, ei)
+
+
+def _escalate(particles: Particles, cond, code):
+    """Max-merge a status code into particle states where ``cond`` holds."""
+    particles.state = jnp.maximum(
+        particles.state, jnp.where(cond, jnp.int32(code), jnp.int32(0))
+    )
+
+
+def _update_state_position(particles: Particles, gpos, t_oob):
+    """State escalation from search sentinels (reference field.py:327-357)."""
+    for dim in ("X", "Y"):
+        idx = gpos[dim]["index"]
+        _escalate(particles, idx == index_search.RIGHT_OUT_OF_BOUNDS, StatusCode.ErrorOutOfBounds)
+        _escalate(particles, idx == index_search.GRID_SEARCH_ERROR, StatusCode.ErrorGridSearching)
+    zidx = gpos["Z"]["index"]
+    _escalate(particles, zidx == index_search.RIGHT_OUT_OF_BOUNDS, StatusCode.ErrorOutOfBounds)
+    _escalate(particles, zidx == index_search.LEFT_OUT_OF_BOUNDS, StatusCode.ErrorThroughSurface)
+    if t_oob is not None:
+        _escalate(particles, t_oob, StatusCode.ErrorOutsideTimeInterval)
+
+
+def _update_state_interp_value(particles: Particles | None, value):
+    if particles is not None:
+        _escalate(particles, jnp.isnan(value), StatusCode.ErrorInterpolation)
+
+
+def _mask_oob_values(gpos, value):
+    """Out-of-bounds samples are returned as 0 (reference field.py:359-370)."""
+    mask = jnp.zeros(jnp.shape(value), dtype=bool)
+    for dim in ("X", "Y", "Z"):
+        if dim in gpos:
+            mask = mask | (gpos[dim]["index"] < 0)
+    return jnp.where(mask, jnp.zeros((), dtype=value.dtype), value)

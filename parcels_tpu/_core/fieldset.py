@@ -1,0 +1,338 @@
+"""FieldSet: host container of Fields + device pytree builder.
+
+Capability parity with reference src/parcels/_core/fieldset.py and the
+ingestion half of src/parcels/_core/model.py: SGRID-convention ingestion,
+vector-field autodiscovery with A-vs-C-grid detection, constant fields,
+context constants readable inside kernels, gridset management.
+
+TPU design: at ingest every field is transposed (host, numpy) to a dense
+(T, Z, Y, X) block; ``device_arrays()`` ships data + grid coordinates to the
+device once and caches the pytree, which the jitted engine takes as an
+argument (so re-jit never happens when data values change, and shardings can
+be applied to the same pytree for multi-chip runs).
+"""
+
+from __future__ import annotations
+
+from typing import Literal
+
+import numpy as np
+from parcels_tpu import xrlite as xr
+
+import jax
+import jax.numpy as jnp
+
+from parcels_tpu import _sgrid as sgrid
+from parcels_tpu._core.field import Field, FieldView, GridView, VectorField, VectorFieldView
+from parcels_tpu._core.grid import XGrid
+from parcels_tpu._core.mesh import get_mesh
+from parcels_tpu.interpolators import CGrid_Velocity, XConstantField, XLinear, XLinear_Velocity
+
+__all__ = ["FieldSet"]
+
+_ORDER = "TZYX"
+
+
+def _transpose_to_tzyx(da: xr.DataArray, metadata: sgrid.SGrid2DMetadata) -> np.ndarray:
+    """Transpose/expand a DataArray of any shape into dense (T, Z, Y, X) numpy."""
+    dim_to_axis = metadata.dim_to_axis() | {"time": "T"}
+    axes_of_dims = []
+    for d in da.dims:
+        ax = dim_to_axis.get(str(d))
+        if ax is None:
+            raise ValueError(
+                f"Dimension {d!r} of DataArray {da.name!r} is not associated with a grid axis."
+            )
+        axes_of_dims.append(ax)
+    if len(set(axes_of_dims)) != len(axes_of_dims):
+        raise ValueError(f"DataArray {da.name!r} has two dimensions on one axis.")
+
+    arr = np.asarray(da.values)
+    # transpose present axes into canonical order
+    present = sorted(range(len(axes_of_dims)), key=lambda i: _ORDER.index(axes_of_dims[i]))
+    arr = arr.transpose(present)
+    # insert singleton dims for absent axes
+    present_axes = sorted(axes_of_dims, key=_ORDER.index)
+    shape = []
+    k = 0
+    for ax in _ORDER:
+        if ax in present_axes:
+            shape.append(arr.shape[k])
+            k += 1
+        else:
+            shape.append(1)
+    return arr.reshape(shape)
+
+
+def _is_agrid(ds: xr.Dataset, u: str, v: str) -> bool:
+    """U and V on the same dims -> A-grid (reference model.py:504-507)."""
+    return set(ds[u].dims) == set(ds[v].dims)
+
+
+def _default_vector_field_components(data_vars) -> dict[str, tuple[str, ...]]:
+    names = set(data_vars)
+    ret: dict[str, tuple[str, ...]] = {}
+    if {"U", "V"}.issubset(names):
+        ret["UV"] = ("U", "V")
+    if {"U", "V", "W"}.issubset(names):
+        ret["UVW"] = ("U", "V", "W")
+    return ret
+
+
+def _mesh_from_units(ds: xr.Dataset, metadata: sgrid.SGrid2DMetadata) -> str:
+    """Autodetect mesh type from node-coordinate units (degrees -> spherical)."""
+    if metadata.node_coordinates is None:
+        return "flat"
+    cx = metadata.node_coordinates[0]
+    units = ds[cx].attrs.get("units") if cx in ds else None
+    if units is None:
+        raise ValueError(
+            f"Coordinate {cx!r} has no 'units' attribute; pass mesh= explicitly."
+        )
+    return "spherical" if "degree" in str(units).lower() else "flat"
+
+
+class _ConstantGrid(XGrid):
+    """Degenerate 0-D grid used for constant fields."""
+
+    def __init__(self, mesh):
+        self._mesh = get_mesh(mesh)
+        self._ds = None
+        self._lookup = None
+        self.axes = []
+        self.lon = np.zeros(1)
+        self.lat = np.zeros(1)
+        self.depth = np.zeros(1)
+        self.time = np.zeros(1, dtype=np.float64)
+        self.time_interval = None
+        self.sgrid_metadata = None
+        from parcels_tpu._core.grid import GridSpec
+
+        self.spec = GridSpec(
+            axes=(),
+            curvilinear=False,
+            spherical=self._mesh.is_spherical(),
+            deg2m=self.deg2m,
+            xdim=0,
+            ydim=0,
+            zdim=0,
+            lon_uniform=None,
+            lat_uniform=None,
+            depth_uniform=None,
+            time_uniform=None,
+        )
+
+
+class FieldSet:
+    """Container of Fields/VectorFields + context constants."""
+
+    def __init__(self, fields: list[Field | VectorField] | None = None):
+        object.__setattr__(self, "_fields", {})
+        object.__setattr__(self, "context", {})
+        object.__setattr__(self, "_gridset", [])
+        object.__setattr__(self, "_device_cache", None)
+        object.__setattr__(self, "_executor_cache", {})
+        for f in fields or []:
+            self.add_field(f)
+
+    # -- attribute routing (reference fieldset.py:79-108) -------------------
+    def __getattr__(self, name):
+        fields = self.__dict__.get("_fields", {})
+        if name in fields:
+            return fields[name]
+        context = self.__dict__.get("context", {})
+        if name in context:
+            return context[name]
+        raise AttributeError(f"FieldSet has no attribute {name!r}")
+
+    def __setattr__(self, name, value):
+        context = self.__dict__.get("context")
+        if context is not None and name in context:
+            raise AttributeError(
+                f"Cannot assign '{name}' directly. Use fieldset.context['{name}'] instead."
+            )
+        object.__setattr__(self, name, value)
+
+    @property
+    def fields(self) -> dict:
+        return self._fields
+
+    @property
+    def gridset(self) -> list[XGrid]:
+        return self._gridset
+
+    @property
+    def time_interval(self):
+        intervals = [
+            f.time_interval
+            for f in self._fields.values()
+            if isinstance(f, Field) and f.time_interval is not None
+        ]
+        if not intervals:
+            return None
+        overlap = intervals[0]
+        for ti in intervals[1:]:
+            if overlap is None:
+                return None
+            overlap = overlap.intersection(ti)
+        return overlap
+
+    # -- construction --------------------------------------------------------
+    def add_field(self, field: Field | VectorField, name: str | None = None):
+        if not isinstance(field, (Field, VectorField)):
+            raise ValueError(f"Expected a Field or VectorField. Got {type(field)}")
+        name = field.name if name is None else name
+        if name in self._fields:
+            raise ValueError(f"FieldSet already has a Field with name '{name}'")
+        if isinstance(field, Field):
+            if field.grid not in self._gridset:
+                self._gridset.append(field.grid)
+            field.igrid = self._gridset.index(field.grid)
+        self._fields[name] = field
+        self._invalidate_caches()
+
+    def add_constant_field(self, name: str, value, mesh: Literal["flat", "spherical"] = "spherical"):
+        """Add a field constant in space/time (reference fieldset.py:198-228)."""
+        if mesh not in ("flat", "spherical"):
+            raise ValueError(f"mesh must be one of ['flat', 'spherical']. Got {mesh!r}.")
+        grid = _ConstantGrid(mesh)
+        data = np.full((1, 1, 1, 1), value, dtype=np.float32)
+        self.add_field(Field(name, data, grid, interp_method=XConstantField()))
+
+    def add_context(self, name: str, value):
+        """Register a simulation constant readable in kernels as ``fieldset.<name>``."""
+        if not name.isidentifier():
+            raise ValueError(f"Context name must be a valid identifier. Got {name!r}")
+        if name in self.context:
+            raise ValueError(f"FieldSet already has a context with name '{name}'")
+        self.context[name] = value
+        self._invalidate_caches()
+
+    @classmethod
+    def from_sgrid_conventions(
+        cls,
+        ds: xr.Dataset,
+        mesh=None,
+        vector_fields: dict[str, tuple[str, ...]] | None = None,
+        fill_value: float = 0.0,
+    ) -> "FieldSet":
+        """Build a FieldSet from an SGRID-convention dataset.
+
+        Mirrors reference FieldSet.from_sgrid_conventions (fieldset.py:293-336
+        -> model.py:203-249): mesh autodetection from coordinate units, time
+        axis normalization, vector-field discovery, NaN -> 0 fill, XLinear
+        default scalar interpolation, A/C-grid velocity selection.
+        """
+        metadata = sgrid.parse_sgrid_metadata(ds)
+        if mesh is None:
+            mesh = _mesh_from_units(ds, metadata)
+
+        # Normalize the time dimension name to "time"
+        for dim in list(ds.dims):
+            if dim == "time" or dim not in ds.coords:
+                continue
+            if ds[dim].attrs.get("axis") == "T":
+                ds = ds.rename({dim: "time"})
+                metadata = sgrid.parse_sgrid_metadata(ds)
+
+        grid = XGrid(ds, mesh)
+
+        data_vars = [
+            v for v in ds.data_vars if ds[v].attrs.get("cf_role") != "grid_topology"
+        ]
+        if vector_fields is None:
+            vector_fields = _default_vector_field_components(data_vars)
+
+        fs = cls()
+        scalar_fields: dict[str, Field] = {}
+        for varname in data_vars:
+            arr = _transpose_to_tzyx(ds[varname], metadata)
+            arr = np.nan_to_num(arr, nan=fill_value)
+            f = Field(str(varname), arr, grid, interp_method=XLinear())
+            scalar_fields[str(varname)] = f
+            fs.add_field(f)
+
+        for vname, components in vector_fields.items():
+            for c in components:
+                if c not in scalar_fields:
+                    raise ValueError(f"Vector field {vname!r} component {c!r} not in dataset.")
+            interp = XLinear_Velocity() if _is_agrid(ds, components[0], components[1]) else CGrid_Velocity()
+            fs.add_field(VectorField(vname, *[scalar_fields[c] for c in components], interp_method=interp))
+        return fs
+
+    # -- device pytree / engine spec ----------------------------------------
+    def _invalidate_caches(self):
+        object.__setattr__(self, "_device_cache", None)
+        object.__setattr__(self, "_executor_cache", {})
+
+    def device_arrays(self, dtype=np.float32, sharding=None) -> dict:
+        """Ship all field data + grid coords to device; cached after first call."""
+        if self._device_cache is not None:
+            return self._device_cache
+        farrays = {"fields": {}, "grids": []}
+        for grid in self._gridset:
+            farrays["grids"].append(grid.device_arrays(dtype))
+        for name, f in self._fields.items():
+            if isinstance(f, Field):
+                arr = jnp.asarray(f.data.astype(dtype) if f.data.dtype.kind == "f" else f.data)
+                if sharding is not None:
+                    arr = jax.device_put(arr, sharding)
+                farrays["fields"][name] = arr
+        object.__setattr__(self, "_device_cache", farrays)
+        return farrays
+
+    def build_views(self, farrays: dict) -> "FieldSetView":
+        """Rebuild traced field views inside a jitted function."""
+        grid_views = []
+        for i, grid in enumerate(self._gridset):
+            grid_views.append(GridView(grid.spec, farrays["grids"][i], grid.lookup_meta()))
+        views: dict[str, object] = {}
+        for name, f in self._fields.items():
+            if isinstance(f, Field):
+                has_time = f.data.shape[0] > 1
+                views[name] = FieldView(
+                    name, farrays["fields"][name], grid_views[f.igrid], f.igrid, f.interp_method, has_time
+                )
+        for name, f in self._fields.items():
+            if isinstance(f, VectorField):
+                views[name] = VectorFieldView(
+                    name,
+                    views[f.U.name],
+                    views[f.V.name],
+                    views[f.W.name] if f.W is not None else None,
+                    f.interp_method,
+                )
+        return FieldSetView(views, dict(self.context))
+
+    def describe(self, buf=None) -> None:
+        import sys
+
+        buf = buf or sys.stdout
+        lines = ["FieldSet:"]
+        for name, f in self._fields.items():
+            interp = type(f.interp_method).__name__ if f.interp_method else "-"
+            lines.append(f"  {name}: {f!r} interp={interp}")
+        lines.append(f"  context: {self.context}")
+        lines.append(f"  grids: {len(self._gridset)}")
+        buf.write("\n".join(lines) + "\n")
+
+
+class FieldSetView:
+    """The ``fieldset`` object seen by kernels inside the jitted engine."""
+
+    __slots__ = ("_views", "_context")
+
+    def __init__(self, views: dict, context: dict):
+        object.__setattr__(self, "_views", views)
+        object.__setattr__(self, "_context", context)
+
+    def __getattr__(self, name):
+        if name in self._views:
+            return self._views[name]
+        if name in self._context:
+            return self._context[name]
+        raise AttributeError(f"FieldSet has no attribute {name!r}")
+
+    @property
+    def fields(self):
+        return self._views

@@ -1,0 +1,282 @@
+"""Device-side (traced) index search.
+
+TPU-native reimplementation of the reference search stack
+(reference: src/parcels/_core/index_search.py). Everything here is pure
+jax.numpy over whole particle batches with static shapes, so it traces into
+a single XLA program:
+
+- 1-D bracketing uses an O(1) uniform-grid index when the axis is uniformly
+  spaced (detected at ingest) and ``jnp.searchsorted`` otherwise.
+- Out-of-bounds is reported through the same sentinel codes as the
+  reference (-1 right, -2 left, -3 search error) so the status-machine
+  semantics carry over unchanged.
+- Curvilinear 2-D search is a warm-started point-in-cell check plus a
+  fixed-iteration vectorized cell walk (instead of the reference's
+  pointer-chasing Morton CSR hash, which maps poorly to TPUs). A coarse
+  regular lookup raster, built once on host, provides cold-start seeds.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+GRID_SEARCH_ERROR = -3
+LEFT_OUT_OF_BOUNDS = -2
+RIGHT_OUT_OF_BOUNDS = -1
+
+
+def search_1d(arr: jnp.ndarray, x: jnp.ndarray, uniform: tuple[float, float] | None = None):
+    """Bracket positions ``x`` in strictly-increasing 1-D ``arr``.
+
+    Returns ``(index, bcoord)`` where ``index`` is the left bracket (or an
+    OOB sentinel) and ``bcoord`` the barycentric coordinate in [0, 1).
+    ``uniform=(origin, step)`` enables the O(1) path.
+    """
+    n = arr.shape[0]
+    if n < 2:
+        zi = jnp.zeros(x.shape, dtype=jnp.int32)
+        return zi, jnp.zeros(x.shape, dtype=x.dtype)
+
+    if uniform is not None:
+        origin, step = uniform
+        idx = jnp.clip(jnp.floor((x - origin) / step).astype(jnp.int32), 0, n - 2)
+    else:
+        idx = jnp.clip(jnp.searchsorted(arr, x, side="right").astype(jnp.int32) - 1, 0, n - 2)
+
+    left = arr[idx]
+    right = arr[jnp.clip(idx + 1, 1, n - 1)]
+    bcoord = (x - left) / (right - left)
+
+    idx = jnp.where(x < arr[0], LEFT_OUT_OF_BOUNDS, idx)
+    idx = jnp.where(x > arr[-1], RIGHT_OUT_OF_BOUNDS, idx)
+    return idx, bcoord
+
+
+def search_time(time_flt: jnp.ndarray, t: jnp.ndarray, uniform: tuple[float, float] | None = None):
+    """Bracket simulation times in the field's time axis (float seconds).
+
+    Unlike the spatial axes, out-of-interval times are clamped to the first /
+    last bracket (reference normalizes the same way) and reported via a
+    separate boolean so the engine can flag ErrorOutsideTimeInterval.
+    """
+    n = time_flt.shape[0]
+    if n < 2:
+        zi = jnp.zeros(t.shape, dtype=jnp.int32)
+        return zi, jnp.zeros(t.shape, dtype=t.dtype), jnp.zeros(t.shape, dtype=bool)
+    oob = (t < time_flt[0]) | (t > time_flt[-1])
+    idx, bc = search_1d(time_flt, t, uniform)
+    idx = jnp.clip(idx, 0, n - 2)
+    bc = jnp.clip(bc, 0.0, 1.0)
+    return idx, bc, oob
+
+
+# ---------------------------------------------------------------------------
+# Curvilinear 2-D search
+# ---------------------------------------------------------------------------
+
+
+def _bilinear_inverse(px, py, xq, yq):
+    """Solve the bilinear map for (xsi, eta) given quad corners (4, n) and queries (n,).
+
+    Same quadratic-formula construction as reference index_search.py:132-149,
+    vectorized in jnp with full where-based control flow.
+    """
+    # invA @ corners gives the bilinear polynomial coefficients.
+    a0 = px[0]
+    a1 = -px[0] + px[1]
+    a2 = -px[0] + px[3]
+    a3 = px[0] - px[1] + px[2] - px[3]
+    b0 = py[0]
+    b1 = -py[0] + py[1]
+    b2 = -py[0] + py[3]
+    b3 = py[0] - py[1] + py[2] - py[3]
+
+    aa = a3 * b2 - a2 * b3
+    bb = a3 * b0 - a0 * b3 + a1 * b2 - a2 * b1 + xq * b3 - yq * a3
+    cc = a1 * b0 - a0 * b1 + xq * b1 - yq * a1
+    det2 = bb * bb - 4 * aa * cc
+
+    det = jnp.sqrt(jnp.maximum(det2, 0.0))
+    safe_aa = jnp.where(jnp.abs(aa) < 1e-12, 1.0, 2 * aa)
+    safe_bb = jnp.where(jnp.abs(bb) < 1e-30, 1.0, bb)
+    eta = jnp.where(
+        jnp.abs(aa) < 1e-12,
+        -cc / safe_bb,
+        jnp.where(det2 > 0, (-bb + det) / safe_aa, -1.0),
+    )
+    denom = a1 + a3 * eta
+    fallback = ((yq - py[0]) / jnp.where(py[1] == py[0], 1.0, py[1] - py[0]) +
+                (yq - py[3]) / jnp.where(py[2] == py[3], 1.0, py[2] - py[3])) * 0.5
+    xsi = jnp.where(
+        jnp.abs(denom) < 1e-12,
+        fallback,
+        (xq - a0 - a2 * eta) / jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom),
+    )
+    return xsi, eta
+
+
+def _latlon_to_xyz(lat_deg, lon_deg):
+    lat = jnp.deg2rad(lat_deg)
+    lon = jnp.deg2rad(lon_deg)
+    cl = jnp.cos(lat)
+    return jnp.cos(lon) * cl, jnp.sin(lon) * cl, jnp.sin(lat)
+
+
+def _project_cell_and_query(clon, clat, x, y):
+    """Project 4 cell corners (4, n) and the query onto the cell's tangent plane.
+
+    Basis from edge-midpoint difference vectors, Gram-Schmidt orthonormalized
+    (reference index_search.py:180-239); antimeridian- and pole-safe.
+    """
+    cX, cY, cZ = _latlon_to_xyz(clat, clon)
+    qX, qY, qZ = _latlon_to_xyz(y, x)
+
+    ux = (cX[1] + cX[2]) - (cX[0] + cX[3])
+    uy = (cY[1] + cY[2]) - (cY[0] + cY[3])
+    uz = (cZ[1] + cZ[2]) - (cZ[0] + cZ[3])
+    un = jnp.sqrt(ux * ux + uy * uy + uz * uz)
+    un = jnp.where(un == 0.0, 1.0, un)
+    eux, euy, euz = ux / un, uy / un, uz / un
+
+    vx = (cX[2] + cX[3]) - (cX[0] + cX[1])
+    vy = (cY[2] + cY[3]) - (cY[0] + cY[1])
+    vz = (cZ[2] + cZ[3]) - (cZ[0] + cZ[1])
+    vd = vx * eux + vy * euy + vz * euz
+    vx, vy, vz = vx - vd * eux, vy - vd * euy, vz - vd * euz
+    vn = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+    vn = jnp.where(vn == 0.0, 1.0, vn)
+    evx, evy, evz = vx / vn, vy / vn, vz / vn
+
+    def proj(wx, wy, wz):
+        return wx * eux + wy * euy + wz * euz, wx * evx + wy * evy + wz * evz
+
+    pu, pv = proj(cX, cY, cZ)
+    qu, qv = proj(qX, qY, qZ)
+    return pu, pv, qu, qv
+
+
+def _gather_cell_corners(lon2d, lat2d, yi, xi):
+    """Gather the 4 corner coordinates of cells (yi, xi) -> two (4, n) arrays."""
+    ydim, xdim = lon2d.shape
+    yi0 = jnp.clip(yi, 0, ydim - 2)
+    xi0 = jnp.clip(xi, 0, xdim - 2)
+    flat_lon = lon2d.reshape(-1)
+    flat_lat = lat2d.reshape(-1)
+
+    def gather(dy, dx):
+        idx = (yi0 + dy) * xdim + (xi0 + dx)
+        return flat_lon[idx], flat_lat[idx]
+
+    l00, t00 = gather(0, 0)
+    l01, t01 = gather(0, 1)
+    l11, t11 = gather(1, 1)
+    l10, t10 = gather(1, 0)
+    clon = jnp.stack([l00, l01, l11, l10])
+    clat = jnp.stack([t00, t01, t11, t10])
+    return clon, clat
+
+
+def curvilinear_point_in_cell(lon2d, lat2d, y, x, yi, xi, spherical: bool):
+    """Bilinear-inverse point-in-cell for curvilinear cells.
+
+    Returns (in_cell bool, xsi, eta). For spherical meshes the inverse runs
+    in a tangent plane through the cell (reference index_search.py:94-119).
+    """
+    clon, clat = _gather_cell_corners(lon2d, lat2d, yi, xi)
+    if spherical:
+        pu, pv, qu, qv = _project_cell_and_query(clon, clat, x, y)
+        xsi, eta = _bilinear_inverse(pu, pv, qu, qv)
+    else:
+        xsi, eta = _bilinear_inverse(clon, clat, x, y)
+    in_cell = (xsi >= 0) & (xsi <= 1) & (eta >= 0) & (eta <= 1)
+    return in_cell, xsi, eta
+
+
+def curvilinear_search(
+    lon2d,
+    lat2d,
+    y,
+    x,
+    yi_guess,
+    xi_guess,
+    *,
+    spherical: bool,
+    lookup: dict | None = None,
+    n_walk: int = 12,
+):
+    """Locate particles in a 2-D curvilinear grid; fully vectorized, static shapes.
+
+    Strategy (TPU-friendly replacement for reference warm-start + Morton CSR
+    hash, index_search.py:242-295 / spatialhash.py):
+
+    1. point-in-cell at the warm-start guess;
+    2. misses re-seeded from a coarse regular lon/lat raster (host-built);
+    3. a fixed number of directed cell-walk iterations: each miss moves its
+       cell index by the (rounded, clamped) bilinear-inverse overshoot.
+
+    Returns (yi, eta, xi, xsi) with yi/xi = GRID_SEARCH_ERROR where the walk
+    failed, and -1 where the point is outside the grid's bounding raster.
+    """
+    ydim, xdim = lon2d.shape
+    yi = jnp.clip(yi_guess, 0, ydim - 2)
+    xi = jnp.clip(xi_guess, 0, xdim - 2)
+
+    in_cell, xsi, eta = curvilinear_point_in_cell(lon2d, lat2d, y, x, yi, xi, spherical)
+
+    if lookup is not None:
+        # Re-seed misses from the coarse raster.
+        ly0, lx0 = lookup["origin"]
+        lys, lxs = lookup["step"]
+        tbl_y = lookup["yi"]  # (ny, nx) int32 seeds
+        tbl_x = lookup["xi"]
+        ny, nx = tbl_y.shape
+        ry = jnp.clip(jnp.floor((y - ly0) / lys).astype(jnp.int32), 0, ny - 1)
+        rx = jnp.clip(jnp.floor((x - lx0) / lxs).astype(jnp.int32), 0, nx - 1)
+        seed_y = tbl_y[ry, rx]
+        seed_x = tbl_x[ry, rx]
+        yi = jnp.where(in_cell, yi, jnp.clip(seed_y, 0, ydim - 2))
+        xi = jnp.where(in_cell, xi, jnp.clip(seed_x, 0, xdim - 2))
+        outside = (
+            (y < ly0)
+            | (y > ly0 + lys * ny)
+            | ((x < lx0) | (x > lx0 + lxs * nx))
+            if not spherical
+            else jnp.zeros(y.shape, dtype=bool)
+        )
+    else:
+        outside = jnp.zeros(y.shape, dtype=bool)
+
+    def walk_body(_, carry):
+        yi, xi, in_cell, xsi, eta = carry
+        ok, xsi_n, eta_n = curvilinear_point_in_cell(lon2d, lat2d, y, x, yi, xi, spherical)
+        # Directed move: overshoot in (xsi, eta) tells which neighbor to try.
+        dx = jnp.clip(jnp.floor(xsi_n).astype(jnp.int32), -2, 2)
+        dy = jnp.clip(jnp.floor(eta_n).astype(jnp.int32), -2, 2)
+        # floor gives 0 inside [0,1), 1 just above 1, -1 below 0.
+        move = ~ok
+        yi_new = jnp.clip(yi + jnp.where(move, dy, 0), 0, ydim - 2)
+        xi_new = jnp.clip(xi + jnp.where(move, dx, 0), 0, xdim - 2)
+        # Keep best-known coords.
+        xsi = jnp.where(ok & ~in_cell, xsi_n, xsi)
+        eta = jnp.where(ok & ~in_cell, eta_n, eta)
+        return yi_new, xi_new, in_cell | ok, xsi, eta
+
+    # Found lanes keep their converged (yi, xi) because move=0 for them after
+    # the first re-check; to avoid drift, freeze found lanes explicitly.
+    def walk_body_frozen(i, carry):
+        yi, xi, found, xsi, eta = carry
+        yi2, xi2, found2, xsi2, eta2 = walk_body(i, (yi, xi, found, xsi, eta))
+        yi = jnp.where(found, yi, yi2)
+        xi = jnp.where(found, xi, xi2)
+        return yi, xi, found2, xsi2, eta2
+
+    yi, xi, found, xsi, eta = jax.lax.fori_loop(
+        0, n_walk, walk_body_frozen, (yi, xi, in_cell, xsi, eta)
+    )
+
+    yi = jnp.where(found, yi, GRID_SEARCH_ERROR)
+    xi = jnp.where(found, xi, GRID_SEARCH_ERROR)
+    yi = jnp.where(outside & ~found, RIGHT_OUT_OF_BOUNDS, yi)
+    xi = jnp.where(outside & ~found, RIGHT_OUT_OF_BOUNDS, xi)
+    return yi, eta, xi, xsi

@@ -1,0 +1,465 @@
+"""ParticleSet: particle SoA owner + simulation entry point.
+
+Capability parity with reference src/parcels/_core/particleset.py. The host
+keeps a numpy copy of the SoA between runs; ``execute`` ships it to device
+once, then drives the jitted chunk executor (one call per output interval —
+the whole inner time loop runs on-device, see engine.py), streaming
+trajectory snapshots to the async ParticleFile writer, and raising the
+reference's typed exceptions if any particle ends a chunk in an error state.
+"""
+
+from __future__ import annotations
+
+import types
+import warnings
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from parcels_tpu._core.engine import build_chunk_executor
+from parcels_tpu._core.particle import Particle, create_particle_data
+from parcels_tpu._core.statuscodes import MIN_ERROR_CODE, StatusCode, raise_error_from_state
+from parcels_tpu._core.timeutils import float_to_datelike, timedelta_to_float
+from parcels_tpu._core.warnings_ import KernelWarning, ParticleSetWarning
+
+__all__ = ["ParticleSet"]
+
+
+class ParticleSet:
+    """Fixed-capacity particle container bound to a FieldSet."""
+
+    def __init__(
+        self,
+        fieldset,
+        pclass=Particle,
+        t=None,
+        z=None,
+        y=None,
+        x=None,
+        particle_ids=None,
+        seed: int = 0,
+        **kwargs,
+    ):
+        self.fieldset = fieldset
+        self._pclass = pclass
+
+        y = np.empty(0) if y is None else np.asarray(y, dtype=np.float64).flatten()
+        x = np.empty(0) if x is None else np.asarray(x, dtype=np.float64).flatten()
+
+        if particle_ids is None:
+            particle_ids = np.arange(x.size)
+        else:
+            particle_ids = np.asarray(particle_ids).flatten()
+
+        if z is None:
+            # Default z: the shallowest depth level across all grids
+            # (reference particleset.py:81-90).
+            minz = None
+            for grid in fieldset.gridset:
+                for depth in np.atleast_1d(grid.depth):
+                    if minz is None or abs(depth) < abs(minz):
+                        minz = depth
+            z = np.full(x.size, minz if minz is not None else 0.0)
+        else:
+            z = np.asarray(z, dtype=np.float64).flatten()
+        assert x.size == y.size == z.size, "x, y, z don't all have the same lengths"
+
+        t = self._normalize_release_times(t, x.size)
+        assert x.size == t.size, "t and positions (x, y, z) do not have the same lengths."
+
+        for kwvar in kwargs:
+            kwargs[kwvar] = np.asarray(kwargs[kwvar]).flatten()
+            assert x.size == kwargs[kwvar].size, (
+                f"{kwvar} and positions (x, y, z) don't have the same lengths."
+            )
+
+        self._data = create_particle_data(
+            pclass=pclass,
+            nparticles=x.size,
+            ngrids=len(fieldset.gridset),
+            initial=dict(t=t, z=z, y=y, x=x, particle_id=particle_ids),
+            seed=seed,
+        )
+        var_names = pclass.var_names()
+        for kwvar, kwval in kwargs.items():
+            if kwvar not in var_names:
+                raise RuntimeError(f"Particle class does not have Variable {kwvar}")
+            self._data[kwvar][:] = kwval.astype(self._data[kwvar].dtype)
+
+    def _normalize_release_times(self, t, n: int) -> np.ndarray:
+        if t is None or (hasattr(t, "__len__") and len(t) == 0):
+            return np.full(n, np.nan)
+        t = np.atleast_1d(np.asarray(t)).flatten()
+        if np.issubdtype(t.dtype, np.datetime64):
+            if self.fieldset.time_interval is None:
+                raise ValueError("Cannot use datetime release times without a fieldset time interval.")
+            t = timedelta_to_float(t - np.datetime64(self.fieldset.time_interval.left, "ns"))
+        elif np.issubdtype(t.dtype, np.timedelta64):
+            t = timedelta_to_float(t)
+        else:
+            t = t.astype(np.float64)
+        if t.size == 1:
+            t = np.repeat(t, n)
+        if self.fieldset.time_interval is not None:
+            _warn_release_outside_bounds(t, self.fieldset.time_interval)
+        return t
+
+    # -- container protocol --------------------------------------------------
+    def __len__(self):
+        return int(self._data["_active"].sum())
+
+    @property
+    def size(self):
+        return len(self)
+
+    def __getattr__(self, name):
+        data = self.__dict__.get("_data")
+        if data is not None and name in data:
+            arr = np.asarray(data[name])
+            active = np.asarray(data["_active"])
+            if arr.ndim >= 1 and arr.shape[0] == active.shape[0]:
+                return arr[active]
+            return arr
+        raise AttributeError(f"ParticleSet has no attribute {name!r}")
+
+    def __setattr__(self, name, value):
+        data = self.__dict__.get("_data")
+        if data is not None and name in data:
+            arr = np.asarray(data[name]).copy()
+            active = np.asarray(data["_active"])
+            arr[active] = value
+            data[name] = arr
+            return
+        object.__setattr__(self, name, value)
+
+    @property
+    def state(self):
+        return self.__getattr__("state")
+
+    def remove_indices(self, indices):
+        """Deactivate particles at the given active-relative indices."""
+        active_rows = np.flatnonzero(np.asarray(self._data["_active"]))
+        mask = np.asarray(self._data["_active"]).copy()
+        mask[active_rows[np.asarray(indices)]] = False
+        self._data["_active"] = mask
+
+    def data_indices(self, variable_name, compare_values, invert=False):
+        compare_values = np.atleast_1d(compare_values)
+        vals = self.__getattr__(variable_name)
+        return np.where(np.isin(vals, compare_values, invert=invert))[0]
+
+    @property
+    def _error_particles(self):
+        return self.data_indices("state", [StatusCode.Success, StatusCode.Evaluate], invert=True)
+
+    @property
+    def _num_error_particles(self):
+        return int(
+            np.sum(np.isin(self.state, [StatusCode.Success, StatusCode.Evaluate], invert=True))
+        )
+
+    def populate_indices(self):
+        """Pre-populate the cached element indices (warm start for curvilinear search)."""
+        from parcels_tpu._core.grid import grid_search
+
+        for i, grid in enumerate(self.fieldset.gridset):
+            garrs = grid.device_arrays()
+            gpos = grid_search(
+                grid.spec,
+                garrs,
+                jnp.asarray(self._data["z"]),
+                jnp.asarray(self._data["y"]),
+                jnp.asarray(self._data["x"]),
+                None,
+                grid.lookup_meta(),
+            )
+            zi = np.clip(np.asarray(gpos["Z"]["index"]), 0, max(grid.zdim - 1, 0))
+            yi = np.clip(np.asarray(gpos["Y"]["index"]), 0, max(grid.ydim - 1, 0))
+            xi = np.clip(np.asarray(gpos["X"]["index"]), 0, max(grid.xdim - 1, 0))
+            self._data["ei"][:, i] = grid.ravel_index(zi, yi, xi)
+
+    @classmethod
+    def from_particlefile(cls, fieldset, pclass, filename, restart=True, restarttime=None, **kwargs):
+        """Restart a ParticleSet from a written trajectory file.
+
+        Implements the capability stubbed as NotImplementedError in the
+        reference (particleset.py:263-291): reads the last (or requested)
+        output time of each trajectory and seeds particles there, preserving
+        particle IDs when ``restart=True``.
+        """
+        from parcels_tpu._core.particlefile import read_particlefile
+
+        df = read_particlefile(filename, decode_times=False)
+        df = df.to_pandas() if hasattr(df, "to_pandas") else df
+        if restarttime is None:
+            restarttime = df["t"].max()
+        elif callable(restarttime):
+            restarttime = restarttime(df["t"].values)
+        sel = df[df["t"] == restarttime]
+        pset = cls(
+            fieldset=fieldset,
+            pclass=pclass,
+            t=sel["t"].values.astype(np.float64),
+            z=sel["z"].values if "z" in sel else None,
+            y=sel["y"].values,
+            x=sel["x"].values,
+            particle_ids=sel["particle_id"].values if restart else None,
+            **kwargs,
+        )
+        return pset
+
+    # -- execution -----------------------------------------------------------
+    def execute(
+        self,
+        kernels,
+        dt,
+        endtime=None,
+        runtime=None,
+        output_file=None,
+        verbose_progress: bool = False,
+    ):
+        """Run the kernel chain over the particle set until endtime/runtime.
+
+        Mirrors reference ParticleSet.execute (particleset.py:354-469): the
+        outer loop advances output-interval chunks; each chunk is one call
+        into the jitted device engine.
+        """
+        if len(self) == 0:
+            return
+
+        if isinstance(kernels, types.FunctionType):
+            kernels = [kernels]
+        if not isinstance(kernels, list) or len(kernels) == 0:
+            raise ValueError(f"kernels must be a non-empty list or a function. Got {kernels!r}")
+        for f in kernels:
+            if not callable(f):
+                raise TypeError(f"kernels must be callables. Got {type(f)}")
+        self._check_kernel_prerequisites(kernels)
+
+        dt, sign_dt = _convert_dt_to_float(dt)
+        runtime = _convert_runtime_to_float(runtime)
+        start_time, end_time = _get_simulation_start_and_end_times(
+            self.fieldset.time_interval, self._data["t"], runtime, endtime, sign_dt
+        )
+
+        self._data["dt"] = np.full_like(np.asarray(self._data["dt"]), dt)
+        tarr = np.asarray(self._data["t"]).copy()
+        if np.isnan(tarr).any():
+            tarr[np.isnan(tarr)] = start_time
+            self._data["t"] = tarr
+
+        outputdt = output_file.outputdt if output_file else None
+        _warn_outputdt_release_desync(outputdt, start_time, np.asarray(self._data["t"]))
+
+        rk45_mode = "RK45_tol" in self.fieldset.context
+        executor = self._get_executor(tuple(kernels), sign_dt, rk45_mode)
+        farrays = self.fieldset.device_arrays()
+        dev = {k: jnp.asarray(v) for k, v in self._data.items()}
+
+        if output_file is not None:
+            output_file.set_metadata(self.fieldset, self._pclass, kernels)
+            output_file.write_snapshot(_snapshot(dev), start_time)
+            next_output = start_time + outputdt * sign_dt
+        else:
+            next_output = None
+
+        pbar = None
+        if verbose_progress:
+            from tqdm import tqdm
+
+            pbar = tqdm(total=sign_dt * (end_time - start_time))
+
+        time = start_time
+        try:
+            while sign_dt * (time - end_time) < 0:
+                if next_output is not None:
+                    f = min if sign_dt > 0 else max
+                    next_time = f(next_output, end_time)
+                else:
+                    next_time = end_time
+
+                dev = executor(farrays, dev, np.float32(next_time), np.float32(dt))
+
+                states = np.asarray(dev["state"])
+                active = np.asarray(dev["_active"])
+                self._raise_errors(dev, states, active)
+
+                if next_output is not None and abs(next_time - next_output) < 1e-3:
+                    if output_file:
+                        output_file.write_snapshot(_snapshot(dev), next_output)
+                    if np.isfinite(outputdt):
+                        next_output += outputdt * sign_dt
+
+                if pbar is not None:
+                    pbar.update(sign_dt * (next_time - time))
+                time = next_time
+
+                if np.any(active & (states == StatusCode.StopAllExecution)):
+                    break
+        finally:
+            if pbar is not None:
+                pbar.close()
+            # Pull the SoA back to host as the source of truth.
+            self._data = {k: np.asarray(v) for k, v in dev.items()}
+            if output_file is not None:
+                output_file.flush()
+
+    def _raise_errors(self, dev, states: np.ndarray, active: np.ndarray):
+        err = active & (states >= MIN_ERROR_CODE)
+        if not err.any():
+            return
+        idx = int(np.argmax(err))
+        code = int(states[idx])
+        z = float(np.asarray(dev["z"])[idx])
+        y = float(np.asarray(dev["y"])[idx])
+        x = float(np.asarray(dev["x"])[idx])
+        t = float(np.asarray(dev["t"])[idx])
+        raise_error_from_state(code, z=z, y=y, x=x, t=t)
+
+    def _check_kernel_prerequisites(self, kernels):
+        """RK45 context defaults (reference kernel.py:122-161)."""
+        from parcels_tpu.kernels import AdvectionRK45
+
+        for f in kernels:
+            if f is AdvectionRK45:
+                if "next_dt" not in self._pclass.var_names():
+                    raise ValueError('ParticleClass requires a "next_dt" for AdvectionRK45 Kernel.')
+                fs = self.fieldset
+                if "RK45_tol" not in fs.context:
+                    warnings.warn(
+                        "Setting RK45 tolerance to 10 m. Use fieldset.add_context('RK45_tol', [distance]) to change.",
+                        KernelWarning,
+                        stacklevel=2,
+                    )
+                    fs.add_context("RK45_tol", 10)
+                    if fs.gridset and fs.gridset[0].mesh.is_spherical():
+                        fs.context["RK45_tol"] = fs.context["RK45_tol"] / fs.gridset[0].deg2m
+                if "RK45_min_dt" not in fs.context:
+                    warnings.warn(
+                        "Setting RK45 minimum timestep to 1 s. Use fieldset.add_context('RK45_min_dt', [timestep]) to change.",
+                        KernelWarning,
+                        stacklevel=2,
+                    )
+                    fs.add_context("RK45_min_dt", 1)
+                if "RK45_max_dt" not in fs.context:
+                    warnings.warn(
+                        "Setting RK45 maximum timestep to 1 day. Use fieldset.add_context('RK45_max_dt', [timestep]) to change.",
+                        KernelWarning,
+                        stacklevel=2,
+                    )
+                    fs.add_context("RK45_max_dt", 60 * 60 * 24)
+
+    def _get_executor(self, kernels: tuple, sign_dt: int, rk45_mode: bool):
+        key = (kernels, sign_dt, rk45_mode, id(self._pclass))
+        cache = self.fieldset._executor_cache
+        if key not in cache:
+            # donate=False keeps pre-chunk snapshots valid for the async
+            # output writer; benches without output can rebuild with donation.
+            cache[key] = build_chunk_executor(
+                kernels, self.fieldset, sign_dt=sign_dt, rk45_mode=rk45_mode, donate=False
+            )
+        return cache[key]
+
+
+def _snapshot(dev: dict) -> dict:
+    """Device-side snapshot of the SoA; np.asarray later blocks only the writer thread."""
+    return dict(dev)
+
+
+def _warn_outputdt_release_desync(outputdt, starttime, release_times):
+    if outputdt and any(
+        (np.isfinite(t) and (t - starttime) % outputdt != 0) for t in release_times
+    ):
+        warnings.warn(
+            "Some of the particles have a start time difference that is not a multiple of outputdt. "
+            "This could cause the first output of some of the particles that start later "
+            "in the simulation to be at a different time than expected.",
+            ParticleSetWarning,
+            stacklevel=2,
+        )
+
+
+def _warn_release_outside_bounds(release_times, time_interval):
+    if np.isnan(release_times).all():
+        return
+    length = timedelta_to_float(time_interval.right - time_interval.left)
+    if np.any(release_times < 0) or np.any(release_times > length):
+        warnings.warn(
+            "Some particles are set to be released outside the FieldSet's executable time domain.",
+            ParticleSetWarning,
+            stacklevel=2,
+        )
+
+
+def _convert_dt_to_float(dt):
+    try:
+        dt = timedelta_to_float(dt)
+        assert dt is not None
+        sign_dt = int(np.sign(dt))
+        assert sign_dt in (-1, 1)
+    except (ValueError, TypeError, AssertionError) as e:
+        raise ValueError(
+            f"dt must be a non-zero datetime.timedelta or np.timedelta64 object, got {dt!r}"
+        ) from e
+    return dt, sign_dt
+
+
+def _convert_runtime_to_float(runtime):
+    if runtime is None:
+        return None
+    try:
+        runtime = timedelta_to_float(runtime)
+    except (ValueError, TypeError) as e:
+        raise ValueError(
+            f"The runtime must be a datetime.timedelta, np.timedelta64 or float object. Got {type(runtime)}"
+        ) from e
+    if runtime < 0:
+        raise ValueError(f"The runtime must be a non-negative timedelta or float. Got {runtime!r}")
+    return runtime
+
+
+def _get_simulation_start_and_end_times(time_interval, release_times, runtime, endtime, sign_dt):
+    """Resolve (start, end) float seconds (reference particleset.py:522-584)."""
+    if runtime is not None and endtime is not None:
+        raise ValueError(
+            f"runtime and endtime are mutually exclusive - provide one or the other. "
+            f"Got runtime={runtime!r}, endtime={endtime!r}"
+        )
+    if runtime is None and time_interval is None:
+        raise ValueError("The runtime must be provided when the time_interval is not defined for a fieldset.")
+    if runtime is None and endtime is None:
+        raise ValueError("Either runtime or endtime must be provided.")
+
+    release_times = np.asarray(release_times, dtype=np.float64)
+    finite = release_times[np.isfinite(release_times)]
+    if sign_dt == 1:
+        first_release = finite.min() if finite.size else np.nan
+    else:
+        first_release = finite.max() if finite.size else np.nan
+
+    if time_interval is not None and endtime is not None:
+        if isinstance(endtime, (np.datetime64, np.timedelta64)) or type(endtime) is type(time_interval.left):
+            if endtime not in time_interval:
+                raise ValueError(
+                    f"Provided end time {endtime!r} is not in fieldset time interval {time_interval!r}."
+                )
+            endtime = timedelta_to_float(endtime - time_interval.left)
+        else:
+            raise ValueError(
+                f"The endtime must be of the same type as the fieldset.time_interval start time. "
+                f"Got {endtime!r} with {time_interval!r}"
+            )
+
+    if time_interval is None:
+        fieldset_start = 0.0 if sign_dt == 1 else float(runtime)
+    else:
+        fieldset_start = (
+            0.0 if sign_dt == 1 else timedelta_to_float(time_interval.right - time_interval.left)
+        )
+
+    start_time = float(first_release) if np.isfinite(first_release) else fieldset_start
+    if endtime is None:
+        endtime = start_time + sign_dt * float(runtime)
+    return start_time, float(endtime)

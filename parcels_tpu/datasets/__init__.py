@@ -1,0 +1,21 @@
+"""Idealized datasets for tests, tutorials and benchmarks."""
+
+from parcels_tpu.datasets.structured import (
+    curvilinear_rotated_dataset,
+    decaying_moving_eddy_dataset,
+    moving_eddy_dataset,
+    peninsula_dataset,
+    radial_rotation_dataset,
+    simple_UV_dataset,
+    stommel_gyre_dataset,
+)
+
+__all__ = [
+    "curvilinear_rotated_dataset",
+    "decaying_moving_eddy_dataset",
+    "moving_eddy_dataset",
+    "peninsula_dataset",
+    "radial_rotation_dataset",
+    "simple_UV_dataset",
+    "stommel_gyre_dataset",
+]

@@ -1,0 +1,32 @@
+"""Interpolator library (traced jnp; runs inside the jitted engine).
+
+Reference parity: src/parcels/interpolators/_xinterpolators.py plus the
+unstructured interpolators (UGRID support lands with UxGrid).
+"""
+
+from parcels_tpu.interpolators._base import ScalarInterpolator, VectorInterpolator
+from parcels_tpu.interpolators.xinterp import (
+    CGrid_Tracer,
+    CGrid_Velocity,
+    XConstantField,
+    XFreeslip,
+    XLinear,
+    XLinearInvdistLandTracer,
+    XLinear_Velocity,
+    XNearest,
+    XPartialslip,
+)
+
+__all__ = [
+    "CGrid_Tracer",
+    "CGrid_Velocity",
+    "ScalarInterpolator",
+    "VectorInterpolator",
+    "XConstantField",
+    "XFreeslip",
+    "XLinear",
+    "XLinearInvdistLandTracer",
+    "XLinear_Velocity",
+    "XNearest",
+    "XPartialslip",
+]

@@ -1,0 +1,450 @@
+"""Structured-grid interpolators, traced jnp (the compute hot loop).
+
+TPU-native redesign of reference src/parcels/interpolators/_xinterpolators.py:
+instead of xarray fancy ``isel`` over dynamic level counts, every scheme is a
+static set of flat gathers plus a weighted blend — XLA fuses the whole thing
+into one gather+FMA pipeline, and the same code path later drops into the
+fused Pallas kernel. Dynamic "do we need 2 time levels?" checks become static
+shape checks (blending with tau=0 is the identity), keeping shapes static
+under jit.
+
+Schemes:
+- XLinear: (tri)linear A-grid + linear time blend
+- XNearest: nearest-neighbour in space, linear in time
+- XConstantField / XLinear_Velocity
+- CGrid_Velocity / CGrid_Tracer: Delandmeter & van Sebille (2019) C-grid
+  face-flux scheme (reference _xinterpolators.py:193-383)
+- XFreeslip / XPartialslip: slip boundary conditions on A-grid velocities
+- XLinearInvdistLandTracer: land-aware inverse-distance tracer
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from parcels_tpu.interpolators._base import ScalarInterpolator, VectorInterpolator
+
+__all__ = [
+    "CGrid_Tracer",
+    "CGrid_Velocity",
+    "XConstantField",
+    "XFreeslip",
+    "XLinear",
+    "XLinearInvdistLandTracer",
+    "XLinear_Velocity",
+    "XNearest",
+    "XPartialslip",
+]
+
+
+# ---------------------------------------------------------------------------
+# gather helpers
+# ---------------------------------------------------------------------------
+
+
+def _flat_gather(data4d, ti, zi, yi, xi):
+    """Gather data[ti, zi, yi, xi] for per-particle index vectors via one flat take."""
+    T, Z, Y, X = data4d.shape
+    idx = ((ti.astype(jnp.int32) * Z + zi.astype(jnp.int32)) * Y + yi.astype(jnp.int32)) * X + xi.astype(jnp.int32)
+    return jnp.take(data4d.reshape(-1), idx, mode="clip")
+
+
+def _axis_levels(idx, frac, size, blend: bool):
+    """[(clipped_index, weight), ...] for one axis; 1 level if size==1 or not blend."""
+    if size == 1 or not blend:
+        i0 = jnp.clip(idx, 0, size - 1)
+        return [(i0, None)]  # weight None means 1
+    i0 = jnp.clip(idx, 0, size - 1)
+    i1 = jnp.clip(idx + 1, 0, size - 1)
+    return [(i0, 1.0 - frac), (i1, frac)]
+
+
+def _multilinear(data, levels_t, levels_z, levels_y, levels_x):
+    """Weighted sum over the outer product of per-axis (index, weight) levels."""
+    val = None
+    for ti, wt in levels_t:
+        for zi, wz in levels_z:
+            for yi, wy in levels_y:
+                for xi, wx in levels_x:
+                    v = _flat_gather(data, ti, zi, yi, xi)
+                    for w in (wt, wz, wy, wx):
+                        if w is not None:
+                            v = v * w
+                    val = v if val is None else val + v
+    return val
+
+
+def _positions(gpos):
+    ti, tau = gpos["T"]["index"], gpos["T"]["bcoord"]
+    zi, zeta = gpos["Z"]["index"], gpos["Z"]["bcoord"]
+    yi, eta = gpos["Y"]["index"], gpos["Y"]["bcoord"]
+    xi, xsi = gpos["X"]["index"], gpos["X"]["bcoord"]
+    return ti, tau, zi, zeta, yi, eta, xi, xsi
+
+
+# ---------------------------------------------------------------------------
+# A-grid interpolators
+# ---------------------------------------------------------------------------
+
+
+class XLinear(ScalarInterpolator):
+    """Trilinear interpolation on a regular grid + linear time blend."""
+
+    def interp(self, ppos, gpos, field):
+        data = field.data
+        T, Z, Y, X = data.shape
+        ti, tau, zi, zeta, yi, eta, xi, xsi = _positions(gpos)
+        return _multilinear(
+            data,
+            _axis_levels(ti, tau, T, True),
+            _axis_levels(zi, zeta, Z, True),
+            _axis_levels(yi, eta, Y, True),
+            _axis_levels(xi, xsi, X, True),
+        )
+
+
+class XConstantField(ScalarInterpolator):
+    """Returns the single value of a constant (1,1,1,1) field."""
+
+    def interp(self, ppos, gpos, field):
+        return field.data[0, 0, 0, 0] * jnp.ones_like(ppos["x"])
+
+
+class XNearest(ScalarInterpolator):
+    """Nearest neighbour in space, linear interpolation in time."""
+
+    def interp(self, ppos, gpos, field):
+        data = field.data
+        T, Z, Y, X = data.shape
+        ti, tau, zi, zeta, yi, eta, xi, xsi = _positions(gpos)
+        zn = jnp.where(zeta < 0.5, jnp.clip(zi, 0, Z - 1), jnp.clip(zi + 1, 0, Z - 1))
+        yn = jnp.where(eta < 0.5, jnp.clip(yi, 0, Y - 1), jnp.clip(yi + 1, 0, Y - 1))
+        xn = jnp.where(xsi < 0.5, jnp.clip(xi, 0, X - 1), jnp.clip(xi + 1, 0, X - 1))
+        v0 = _flat_gather(data, jnp.clip(ti, 0, T - 1), zn, yn, xn)
+        if T == 1:
+            return v0
+        v1 = _flat_gather(data, jnp.clip(ti + 1, 0, T - 1), zn, yn, xn)
+        return v0 * (1 - tau) + v1 * tau
+
+
+class XLinear_Velocity(VectorInterpolator):  # noqa: N801
+    """Trilinear A-grid velocity; converts m/s to deg/s on spherical meshes."""
+
+    def interp(self, ppos, gpos, vf):
+        lin = XLinear()
+        u = lin.interp(ppos, gpos, vf.U)
+        v = lin.interp(ppos, gpos, vf.V)
+        if vf.grid.spec.spherical:
+            deg2m = vf.grid.spec.deg2m
+            u = u / (deg2m * jnp.cos(jnp.deg2rad(ppos["y"])))
+            v = v / deg2m
+        if vf.W is not None:
+            w = lin.interp(ppos, gpos, vf.W)
+        else:
+            w = jnp.zeros_like(u)
+        return u, v, w
+
+
+# ---------------------------------------------------------------------------
+# C-grid geometry helpers
+# ---------------------------------------------------------------------------
+
+
+def _cell_corner_coords(grid, yi, xi):
+    """Quad corner lon/lat (4, n) for cells (yi, xi), antimeridian-unwrapped."""
+    spec = grid.spec
+    lon = grid.garrs["lon"]
+    lat = grid.garrs["lat"]
+    if lon.ndim == 1:
+        nx = lon.shape[0]
+        ny = lat.shape[0]
+        x0 = jnp.clip(xi, 0, max(nx - 2, 0))
+        y0 = jnp.clip(yi, 0, max(ny - 2, 0))
+        x1 = jnp.clip(x0 + 1, 0, nx - 1)
+        y1 = jnp.clip(y0 + 1, 0, ny - 1)
+        px = jnp.stack([lon[x0], lon[x1], lon[x1], lon[x0]])
+        py = jnp.stack([lat[y0], lat[y0], lat[y1], lat[y1]])
+    else:
+        ny, nx = lon.shape
+        y0 = jnp.clip(yi, 0, ny - 2)
+        x0 = jnp.clip(xi, 0, nx - 2)
+        flat_lon = lon.reshape(-1)
+        flat_lat = lat.reshape(-1)
+
+        def g(arr, dy, dx):
+            return arr[(y0 + dy) * nx + (x0 + dx)]
+
+        px = jnp.stack([g(flat_lon, 0, 0), g(flat_lon, 0, 1), g(flat_lon, 1, 1), g(flat_lon, 1, 0)])
+        py = jnp.stack([g(flat_lat, 0, 0), g(flat_lat, 0, 1), g(flat_lat, 1, 1), g(flat_lat, 1, 0)])
+
+    if spec.spherical:
+        px = ((px + 180.0) % 360.0) - 180.0
+        shift = jnp.where(px[1:] - px[0] > 180.0, px[1:] - 360.0, px[1:])
+        shift = jnp.where(-shift + px[0] > 180.0, shift + 360.0, shift)
+        px = jnp.concatenate([px[:1], shift], axis=0)
+    return px, py
+
+
+def _geodetic_distance(lat1, lat2, lon1, lon2, spherical: bool, lat, deg2m: float):
+    if spherical:
+        rad = jnp.pi / 180.0
+        return jnp.sqrt(((lon2 - lon1) * deg2m * jnp.cos(rad * lat)) ** 2 + ((lat2 - lat1) * deg2m) ** 2)
+    return jnp.sqrt((lon2 - lon1) ** 2 + (lat2 - lat1) ** 2)
+
+
+def _jacobian_determinant(py, px, eta, xsi):
+    """det of the bilinear map at (xsi, eta); corners (4, n)."""
+    dphidxsi = (eta - 1, 1 - eta, eta, -eta)
+    dphideta = (xsi - 1, -xsi, xsi, 1 - xsi)
+    dxdxsi = sum(w * px[k] for k, w in enumerate(dphidxsi))
+    dxdeta = sum(w * px[k] for k, w in enumerate(dphideta))
+    dydxsi = sum(w * py[k] for k, w in enumerate(dphidxsi))
+    dydeta = sum(w * py[k] for k, w in enumerate(dphideta))
+    return dxdxsi * dydeta - dxdeta * dydxsi
+
+
+class CGrid_Velocity(VectorInterpolator):  # noqa: N801
+    """C-grid velocity per Delandmeter & van Sebille (2019).
+
+    Velocities are interpolated only normal to cell faces: face fluxes are
+    scaled by geodesic edge lengths c1..c4 and blended linearly across the
+    cell, then mapped through the cell's bilinear Jacobian
+    (reference _xinterpolators.py:193-332).
+    """
+
+    def interp(self, ppos, gpos, vf):
+        grid = vf.grid
+        spec = grid.spec
+        U = vf.U.data
+        V = vf.V.data
+        T, Z, Y, X = U.shape
+        ti, tau, zi, zeta, yi, eta, xi, xsi = _positions(gpos)
+        off_x, off_y, off_z = spec.offset_x, spec.offset_y, spec.offset_z
+        deg2m = spec.deg2m
+        spherical = spec.spherical
+
+        px, py = _cell_corner_coords(grid, yi, xi)
+
+        lat_c1 = (1 - xsi) * py[0] + xsi * py[1]
+        lat_c2 = (1 - eta) * py[1] + eta * py[2]
+        lat_c3 = xsi * py[2] + (1 - xsi) * py[3]
+        lat_c4 = (1 - eta) * py[0] + eta * py[3]
+        c1 = _geodetic_distance(py[0], py[1], px[0], px[1], spherical, lat_c1, deg2m)
+        c2 = _geodetic_distance(py[1], py[2], px[1], px[2], spherical, lat_c2, deg2m)
+        c3 = _geodetic_distance(py[2], py[3], px[2], px[3], spherical, lat_c3, deg2m)
+        c4 = _geodetic_distance(py[3], py[0], px[3], px[0], spherical, lat_c4, deg2m)
+
+        t_levels = _axis_levels(ti, tau, T, True)
+        zi_c = jnp.clip(zi, 0, Z - 1)
+
+        def tblend(data, z_, y_, x_):
+            val = None
+            for tl, wt in t_levels:
+                v = _flat_gather(data, tl, z_, y_, x_)
+                if wt is not None:
+                    v = v * wt
+                val = v if val is None else val + v
+            return val
+
+        # U: the two corners are the west/east X faces
+        yi_o = jnp.clip(yi + off_y, 0, Y - 1)
+        u_w = tblend(U, zi_c, yi_o, jnp.clip(xi, 0, X - 1))
+        u_e = tblend(U, zi_c, yi_o, jnp.clip(xi + 1, 0, X - 1))
+        U0 = u_w * c4
+        U1 = u_e * c2
+        Uvel = (1 - xsi) * U0 + xsi * U1
+
+        # V: the two corners are the south/north Y faces
+        xi_o = jnp.clip(xi + off_x, 0, X - 1)
+        v_s = tblend(V, zi_c, jnp.clip(yi, 0, Y - 1), xi_o)
+        v_n = tblend(V, zi_c, jnp.clip(yi + 1, 0, Y - 1), xi_o)
+        V0 = v_s * c1
+        V1 = v_n * c3
+        Vvel = (1 - eta) * V0 + eta * V1
+
+        jac = _jacobian_determinant(py, px, eta, xsi)
+        if spherical:
+            jac = jac * deg2m
+
+        wu0 = -(1 - eta) * Uvel - (1 - xsi) * Vvel
+        wu1 = (1 - eta) * Uvel - xsi * Vvel
+        wu2 = eta * Uvel + xsi * Vvel
+        wu3 = -eta * Uvel + (1 - xsi) * Vvel
+        u = (wu0 * px[0] + wu1 * px[1] + wu2 * px[2] + wu3 * px[3]) / jac
+        v = (wu0 * py[0] + wu1 * py[1] + wu2 * py[2] + wu3 * py[3]) / jac
+
+        if spherical:
+            conversion = deg2m * jnp.cos(jnp.deg2rad(ppos["y"]))
+            u = u / conversion
+            v = v / conversion
+
+        if vf.W is not None:
+            W = vf.W.data
+            Zw = W.shape[1]
+            zi_0 = jnp.clip(zi + off_z, 0, Zw - 1)
+            zi_1 = jnp.clip(zi + off_z + 1, 0, Zw - 1)
+            w0 = tblend(W, zi_0, yi_o, xi_o)
+            w1 = tblend(W, zi_1, yi_o, xi_o)
+            w = w0 * (1 - zeta) + w1 * zeta
+        else:
+            w = jnp.zeros_like(u)
+        return u, v, w
+
+
+class CGrid_Tracer(ScalarInterpolator):  # noqa: N801
+    """Piecewise-constant C-grid tracer (reference _xinterpolators.py:335-383)."""
+
+    def interp(self, ppos, gpos, field):
+        data = field.data
+        T, Z, Y, X = data.shape
+        spec = field.grid.spec
+        ti, tau, zi, zeta, yi, eta, xi, xsi = _positions(gpos)
+        zi_o = jnp.clip(zi + spec.offset_z, 0, Z - 1)
+        yi_o = jnp.clip(yi + spec.offset_y, 0, Y - 1)
+        xi_o = jnp.clip(xi + spec.offset_x, 0, X - 1)
+        v0 = _flat_gather(data, jnp.clip(ti, 0, T - 1), zi_o, yi_o, xi_o)
+        if T == 1:
+            return v0
+        v1 = _flat_gather(data, jnp.clip(ti + 1, 0, T - 1), zi_o, yi_o, xi_o)
+        return v0 * (1 - tau) + v1 * tau
+
+
+# ---------------------------------------------------------------------------
+# slip boundary conditions (A-grid velocity)
+# ---------------------------------------------------------------------------
+
+
+def _corner_stack(data, ti, tau, zi, yi, xi, blend_z: bool):
+    """(nz, 2, 2, n) stack of time-blended corner values (nz = 1 or 2)."""
+    T, Z, Y, X = data.shape
+    t_levels = _axis_levels(ti, tau, T, True)
+
+    def tblend(z_, y_, x_):
+        val = None
+        for tl, wt in t_levels:
+            v = _flat_gather(data, tl, z_, y_, x_)
+            if wt is not None:
+                v = v * wt
+            val = v if val is None else val + v
+        return val
+
+    z_list = [jnp.clip(zi, 0, Z - 1)]
+    if blend_z and Z > 1:
+        z_list.append(jnp.clip(zi + 1, 0, Z - 1))
+    rows = []
+    for z_ in z_list:
+        r = []
+        for dy in (0, 1):
+            yy = jnp.clip(yi + dy, 0, Y - 1)
+            r.append(
+                jnp.stack(
+                    [tblend(z_, yy, jnp.clip(xi, 0, X - 1)), tblend(z_, yy, jnp.clip(xi + 1, 0, X - 1))]
+                )
+            )
+        rows.append(jnp.stack(r))
+    return jnp.stack(rows)  # (nz, 2(y), 2(x), n)
+
+
+def _spatialslip(ppos, gpos, vf, a: float, b: float):
+    """Shared free/partial-slip machinery (reference _xinterpolators.py:386-476)."""
+    spec = vf.grid.spec
+    ti, tau, zi, zeta, yi, eta, xi, xsi = _positions(gpos)
+    lin = XLinear()
+    u = lin.interp(ppos, gpos, vf.U)
+    v = lin.interp(ppos, gpos, vf.V)
+    w = lin.interp(ppos, gpos, vf.W) if vf.W is not None else None
+
+    Z = vf.U.data.shape[1]
+    blend_z = Z > 1
+    cu = _corner_stack(vf.U.data, ti, tau, zi, yi, xi, blend_z)
+    cv = _corner_stack(vf.V.data, ti, tau, zi, yi, xi, blend_z)
+    land = jnp.isclose(cu, 0.0) & jnp.isclose(cv, 0.0)  # (nz, 2, 2, n)
+    nz = land.shape[0]
+
+    def all_z(jy, jx):
+        m = land[0, jy, jx]
+        for k in range(1, nz):
+            m = m & land[k, jy, jx]
+        return m
+
+    eps = 1e-18
+
+    def factor(frac, low_land, high_land):
+        f = jnp.ones_like(frac)
+        low = low_land & (frac > 0)
+        f = jnp.where(low, f * (a + b * frac) / jnp.where(low, frac, 1.0), f)
+        high = high_land & (frac < 1)
+        f = jnp.where(high, f * (1 - b * frac) / jnp.where(high, 1 - frac, 1.0), f)
+        return f
+
+    # u scaled when full south or north row is land
+    f_u = factor(eta, all_z(0, 0) & all_z(0, 1), all_z(1, 0) & all_z(1, 1))
+    # v scaled when full west or east column is land
+    f_v = factor(xsi, all_z(0, 0) & all_z(1, 0), all_z(0, 1) & all_z(1, 1))
+    u = u * f_u
+    v = v * f_v
+
+    if spec.spherical:
+        u = u / (spec.deg2m * jnp.cos(jnp.deg2rad(ppos["y"])))
+        v = v / spec.deg2m
+
+    if w is not None:
+        f_w = factor(eta, all_z(0, 0) & all_z(0, 1), all_z(1, 0) & all_z(1, 1))
+        f_w = f_w * factor(xsi, all_z(0, 0) & all_z(1, 0), all_z(0, 1) & all_z(1, 1))
+        w = w * f_w
+    else:
+        w = jnp.zeros_like(u)
+    del eps
+    return u, v, w
+
+
+class XFreeslip(VectorInterpolator):
+    """Free-slip boundary condition velocity interpolation."""
+
+    def interp(self, ppos, gpos, vf):
+        return _spatialslip(ppos, gpos, vf, a=1.0, b=0.0)
+
+
+class XPartialslip(VectorInterpolator):
+    """Partial-slip boundary condition velocity interpolation."""
+
+    def interp(self, ppos, gpos, vf):
+        return _spatialslip(ppos, gpos, vf, a=0.5, b=0.5)
+
+
+class XLinearInvdistLandTracer(ScalarInterpolator):
+    """Trilinear tracer that excludes land (zero) corners via inverse-distance weights."""
+
+    def interp(self, ppos, gpos, field):
+        data = field.data
+        T, Z, Y, X = data.shape
+        ti, tau, zi, zeta, yi, eta, xi, xsi = _positions(gpos)
+        values = XLinear().interp(ppos, gpos, field)
+
+        blend_z = Z > 1
+        corners = _corner_stack(data, ti, tau, zi, yi, xi, blend_z)  # (nz, 2, 2, n)
+        nz = corners.shape[0]
+        land = jnp.isclose(corners, 0.0)
+        nb_land = jnp.sum(land, axis=(0, 1, 2))
+        total = 4 * nz
+
+        j = jnp.arange(2).reshape(1, 2, 1, 1)
+        i = jnp.arange(2).reshape(1, 1, 2, 1)
+        dist2 = (eta[None, None, None, :] - j) ** 2 + (xsi[None, None, None, :] - i) ** 2
+        dist2 = jnp.broadcast_to(dist2, corners.shape)
+        valid = ~land
+        inv = 1.0 / jnp.where(dist2 == 0, 1.0, dist2)
+        weighted = jnp.where(valid, corners * inv, 0.0)
+        val = jnp.sum(weighted, axis=(0, 1, 2))
+        wsum = jnp.sum(jnp.where(valid, inv, 0.0), axis=(0, 1, 2))
+        invdist_val = val / jnp.where(wsum == 0, 1.0, wsum)
+
+        exact = (dist2 == 0) & valid
+        exact_vals = jnp.sum(jnp.where(exact, corners, 0.0), axis=(0, 1, 2))
+        has_exact = jnp.any(exact, axis=(0, 1, 2))
+
+        some_land = (nb_land > 0) & (nb_land < total)
+        out = jnp.where(some_land, invdist_val, values)
+        out = jnp.where(some_land & has_exact, exact_vals, out)
+        out = jnp.where(nb_land == total, 0.0, out)
+        return out
