@@ -1,0 +1,133 @@
+"""Benchmark: particle-steps/sec/chip, RK4, 10M particles (BASELINE.json metric).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline compares against the reference architecture's execution model —
+vectorized NumPy over the whole particle array (Parcels v4 runs exactly this
+way: searchsorted + fancy-gather + RK4 blend per sample, see reference
+docs/v4/nojit.md and kernels/_advection.py:42-56) — measured on this host's
+CPU with an equivalent straight-line implementation, scaled per step. The
+reference repo publishes no numbers (BASELINE.md), so this measured local
+baseline is the comparison point.
+
+Env knobs: PARCELS_BENCH_NPART (default 10_000_000), PARCELS_BENCH_STEPS
+(default 20), PARCELS_BENCH_BASELINE_NPART (default 1_000_000).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _build(npart: int):
+    from parcels_tpu import FieldSet, ParticleSet
+    from parcels_tpu.datasets import moving_eddy_dataset
+
+    ds = moving_eddy_dataset()
+    fs = FieldSet.from_sgrid_conventions(ds, mesh="flat")
+    rng = np.random.default_rng(1)
+    x = rng.uniform(1000, 24000, npart)
+    y = rng.uniform(1000, 24000, npart)
+    pset = ParticleSet(fs, x=x, y=y, t=np.zeros(npart))
+    return fs, pset
+
+
+def bench_tpu(npart: int, steps: int, dt: float = 60.0) -> float:
+    """Particle-steps/s of the jitted RK4 engine on the attached chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from parcels_tpu._core.engine import build_chunk_executor
+    from parcels_tpu.kernels import AdvectionRK4
+
+    fs, pset = _build(npart)
+    executor = build_chunk_executor((AdvectionRK4,), fs, sign_dt=1, rk45_mode=False, donate=False)
+    farrays = fs.device_arrays()
+    pdata = {k: jnp.asarray(v) for k, v in pset._data.items()}
+
+    # warmup/compile: a short chunk
+    out = executor(farrays, pdata, jnp.float32(dt), jnp.float32(dt))
+    jax.block_until_ready(out)
+
+    endtime = jnp.float32(dt * steps)
+    t0 = time.perf_counter()
+    out = executor(farrays, pdata, endtime, jnp.float32(dt))
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+    assert np.allclose(np.asarray(out["t"][:64]), dt * steps), "clock did not advance"
+    return npart * steps / elapsed
+
+
+def bench_numpy_reference_style(npart: int, steps: int, dt: float = 60.0) -> float:
+    """Reference-architecture baseline: vectorized NumPy RK4 over the SoA.
+
+    Mirrors the per-step work of the reference hot path on an A-grid
+    (time bracket via searchsorted, 16-corner gather, quadrilinear blend,
+    4 RK stages) without the Python-object overhead of the full reference
+    stack — i.e. an upper bound on the reference's throughput.
+    """
+    tdim, ydim, xdim = 420, 2, 2
+    timearr = np.arange(tdim) * 60.0
+    lon = np.linspace(0, 25000, xdim)
+    lat = np.linspace(0, 25000, ydim)
+    U = np.random.default_rng(2).uniform(-0.3, 0.3, (tdim, ydim, xdim)).astype(np.float32)
+    V = np.random.default_rng(3).uniform(-0.3, 0.3, (tdim, ydim, xdim)).astype(np.float32)
+    x = np.random.default_rng(4).uniform(1000, 24000, npart).astype(np.float32)
+    y = np.random.default_rng(5).uniform(1000, 24000, npart).astype(np.float32)
+    t = np.zeros(npart)
+
+    def sample(F, tq, yq, xq):
+        ti = np.clip(np.searchsorted(timearr, tq, side="right") - 1, 0, tdim - 2)
+        tau = ((tq - timearr[ti]) / (timearr[ti + 1] - timearr[ti])).astype(np.float32)
+        yi = np.clip(np.searchsorted(lat, yq, side="right") - 1, 0, ydim - 2)
+        eta = ((yq - lat[yi]) / (lat[yi + 1] - lat[yi])).astype(np.float32)
+        xi = np.clip(np.searchsorted(lon, xq, side="right") - 1, 0, xdim - 2)
+        xsi = ((xq - lon[xi]) / (lon[xi + 1] - lon[xi])).astype(np.float32)
+        val = 0.0
+        for dt_, wt in ((0, 1 - tau), (1, tau)):
+            for dy_, wy in ((0, 1 - eta), (1, eta)):
+                for dx_, wx in ((0, 1 - xsi), (1, xsi)):
+                    val = val + wt * wy * wx * F[ti + dt_, yi + dy_, xi + dx_]
+        return val
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        u1 = sample(U, t, y, x)
+        v1 = sample(V, t, y, x)
+        u2 = sample(U, t + dt / 2, y + v1 * dt / 2, x + u1 * dt / 2)
+        v2 = sample(V, t + dt / 2, y + v1 * dt / 2, x + u1 * dt / 2)
+        u3 = sample(U, t + dt / 2, y + v2 * dt / 2, x + u2 * dt / 2)
+        v3 = sample(V, t + dt / 2, y + v2 * dt / 2, x + u2 * dt / 2)
+        u4 = sample(U, t + dt, y + v3 * dt, x + u3 * dt)
+        v4 = sample(V, t + dt, y + v3 * dt, x + u3 * dt)
+        x = x + (u1 + 2 * u2 + 2 * u3 + u4) / 6 * dt
+        y = y + (v1 + 2 * v2 + 2 * v3 + v4) / 6 * dt
+        t = t + dt
+    elapsed = time.perf_counter() - t0
+    return npart * steps / elapsed
+
+
+def main():
+    npart = int(os.environ.get("PARCELS_BENCH_NPART", 10_000_000))
+    steps = int(os.environ.get("PARCELS_BENCH_STEPS", 20))
+    base_npart = int(os.environ.get("PARCELS_BENCH_BASELINE_NPART", 1_000_000))
+
+    tpu_rate = bench_tpu(npart, steps)
+    base_rate = bench_numpy_reference_style(base_npart, max(steps // 4, 3))
+
+    print(
+        json.dumps(
+            {
+                "metric": "particle-steps/sec/chip (RK4, 10M particles)",
+                "value": round(tpu_rate, 1),
+                "unit": "particle-steps/s",
+                "vs_baseline": round(tpu_rate / base_rate, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,7 @@ State semantics (masked, static shapes):
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Sequence
 
 import jax
@@ -27,7 +28,10 @@ import jax.numpy as jnp
 from parcels_tpu._core.particles_view import Particles
 from parcels_tpu._core.statuscodes import MIN_ERROR_CODE, StatusCode
 
-__all__ = ["build_chunk_executor"]
+__all__ = ["DEFAULT_BLOCK_SIZE", "build_chunk_executor"]
+
+#: particles per sequential device block (bounds live intermediate memory)
+DEFAULT_BLOCK_SIZE = int(os.environ.get("PARCELS_TPU_BLOCK_SIZE", 2**21))
 
 
 def build_chunk_executor(
@@ -37,103 +41,143 @@ def build_chunk_executor(
     sign_dt: int,
     rk45_mode: bool,
     donate: bool = True,
+    block_size: int | None = None,
 ):
     """Compile a chunk executor: (farrays, pdata, endtime, dt0) -> pdata.
 
     ``sign_dt`` and ``rk45_mode`` are static (baked into the trace);
     ``endtime``/``dt0`` are traced scalars so consecutive output chunks reuse
     the same executable.
+
+    Particle counts above ``block_size`` are processed as a sequential
+    ``lax.map`` over equal blocks (the count must be a multiple of the block
+    size — the ParticleSet pads with inactive lanes). Blocks are independent
+    (particles never interact), so per-block while-loops are semantically
+    identical to one global loop; blocking bounds the live-intermediate
+    memory, which otherwise scales with the full particle count.
     """
     kernel_fns = tuple(kernel_fns)
+    if block_size is None:
+        block_size = DEFAULT_BLOCK_SIZE
 
     def chunk(farrays, pdata, endtime, dt0):
         fsview = fieldset.build_views(farrays)
-        pdata = dict(pdata)
-        # Chunk start: active particles are (re)queued for evaluation
-        # (reference kernel.py:190).
-        pdata["state"] = jnp.where(
-            pdata["_active"], jnp.int32(StatusCode.Evaluate), pdata["state"]
-        )
         endtime = jnp.asarray(endtime, dtype=pdata["t"].dtype)
         dt0 = jnp.asarray(dt0, dtype=pdata["dt"].dtype)
 
-        def cond(pd):
-            st = pd["state"]
-            act = pd["_active"]
-            tte = sign_dt * (endtime - pd["t"])
-            busy = act & ((st == StatusCode.Evaluate) | (st == StatusCode.Repeat)) & (tte >= 0)
-            halt = act & ((st >= MIN_ERROR_CODE) | (st == StatusCode.StopAllExecution))
-            return jnp.any(busy) & ~jnp.any(halt)
+        n = pdata["state"].shape[0]
+        if n <= block_size:
+            return _run_block(fsview, dict(pdata), endtime, dt0, kernel_fns, sign_dt, rk45_mode)
 
-        def body(pd):
-            pd = dict(pd)
-            act = pd["_active"]
-            st = pd["state"]
-            tte = sign_dt * (endtime - pd["t"])
-            eval_mask = act & ((st == StatusCode.Success) | (st == StatusCode.Evaluate)) & (tte >= 0)
-
-            # Clamp dt so particles land exactly on endtime
-            # (reference kernel.py:201-205; applied array-wide).
-            if sign_dt == 1:
-                pd["dt"] = jnp.maximum(jnp.minimum(pd["dt"], tte), 0.0).astype(pd["dt"].dtype)
-            else:
-                pd["dt"] = jnp.minimum(jnp.maximum(pd["dt"], -tte), 0.0).astype(pd["dt"].dtype)
-
-            # Kernel chain; each kernel is followed by masked Repeat
-            # resubmission (RK45 adaptive dt, reference kernel.py:208-218).
-            for f in kernel_fns:
-                view = Particles(pd, eval_mask)
-                f(view, fsview)
-
-                def rcond(pdd):
-                    return jnp.any(pdd["_active"] & (pdd["state"] == StatusCode.Repeat))
-
-                def rbody(pdd, f=f):
-                    pdd = dict(pdd)
-                    rview = Particles(pdd, pdd["_active"] & (pdd["state"] == StatusCode.Repeat))
-                    f(rview, fsview)
-                    return pdd
-
-                pd = jax.lax.while_loop(rcond, rbody, pd)
-
-            # Position/time update for lanes still in a normal state
-            # (reference kernel.py:108-120, 222-224).
-            st = pd["state"]
-            upd = eval_mask & ((st == StatusCode.Evaluate) | (st == StatusCode.Success))
-            t_old = pd["t"]
-            uview = Particles(pd, upd)
-            uview.x = pd["x"] + pd["dx"]
-            uview.y = pd["y"] + pd["dy"]
-            uview.z = pd["z"] + pd["dz"]
-            uview.t = pd["t"] + pd["dt"]
-            uview.dx = jnp.zeros_like(pd["dx"])
-            uview.dy = jnp.zeros_like(pd["dy"])
-            uview.dz = jnp.zeros_like(pd["dz"])
-            if rk45_mode:
-                # dt may have been increased by the RK45 kernel
-                uview.dt = pd["next_dt"]
-            else:
-                # revert to the nominal dt (reference kernel.py:227-228)
-                pd["dt"] = jnp.broadcast_to(dt0, pd["dt"].shape).astype(pd["dt"].dtype)
-
-            # Mark particles that reached endtime (reference kernel.py:231-232).
-            # The extra "stuck" clause guards against float32 time underflow
-            # (t + dt == t) which would otherwise spin the loop forever.
-            st = pd["state"]
-            stuck = upd & (pd["t"] == t_old) & (sign_dt * (endtime - pd["t"]) > 0)
-            reached = (pd["t"] == endtime) | stuck
-            pd["state"] = jnp.where(
-                (st == StatusCode.Evaluate) & reached,
-                jnp.int32(StatusCode.EndofLoop),
-                st,
+        if n % block_size:
+            raise ValueError(
+                f"Particle count {n} must be a multiple of block_size {block_size} "
+                "(the ParticleSet pads with inactive lanes)."
             )
+        B = n // block_size
+        blocked = {}
+        for k, v in pdata.items():
+            if k == "_rng":
+                keys = jax.random.split(jax.random.wrap_key_data(v, impl="threefry2x32"), B)
+                blocked[k] = jax.random.key_data(keys)
+            else:
+                blocked[k] = v.reshape((B, block_size) + v.shape[1:])
 
-            # Deletion: clear validity instead of removing rows
-            # (reference kernel.py:235 -> remove_indices).
-            pd["_active"] = pd["_active"] & (pd["state"] != StatusCode.Delete)
-            return pd
-
-        return jax.lax.while_loop(cond, body, pdata)
+        out = jax.lax.map(
+            lambda pd: _run_block(fsview, dict(pd), endtime, dt0, kernel_fns, sign_dt, rk45_mode),
+            blocked,
+        )
+        merged = {}
+        for k, v in out.items():
+            merged[k] = v[0] if k == "_rng" else v.reshape((n,) + v.shape[2:])
+        return merged
 
     donate_argnums = (1,) if donate else ()
     return jax.jit(chunk, donate_argnums=donate_argnums)
+
+
+def _run_block(fsview, pdata, endtime, dt0, kernel_fns, sign_dt, rk45_mode):
+    """The full inner time loop for one particle block (traced)."""
+    # Chunk start: active particles are (re)queued for evaluation
+    # (reference kernel.py:190).
+    pdata["state"] = jnp.where(
+        pdata["_active"], jnp.int32(StatusCode.Evaluate), pdata["state"]
+    )
+
+    def cond(pd):
+        st = pd["state"]
+        act = pd["_active"]
+        tte = sign_dt * (endtime - pd["t"])
+        busy = act & ((st == StatusCode.Evaluate) | (st == StatusCode.Repeat)) & (tte >= 0)
+        halt = act & ((st >= MIN_ERROR_CODE) | (st == StatusCode.StopAllExecution))
+        return jnp.any(busy) & ~jnp.any(halt)
+
+    def body(pd):
+        pd = dict(pd)
+        act = pd["_active"]
+        st = pd["state"]
+        tte = sign_dt * (endtime - pd["t"])
+        eval_mask = act & ((st == StatusCode.Success) | (st == StatusCode.Evaluate)) & (tte >= 0)
+
+        # Clamp dt so particles land exactly on endtime
+        # (reference kernel.py:201-205; applied array-wide).
+        if sign_dt == 1:
+            pd["dt"] = jnp.maximum(jnp.minimum(pd["dt"], tte), 0.0).astype(pd["dt"].dtype)
+        else:
+            pd["dt"] = jnp.minimum(jnp.maximum(pd["dt"], -tte), 0.0).astype(pd["dt"].dtype)
+
+        # Kernel chain; each kernel is followed by masked Repeat
+        # resubmission (RK45 adaptive dt, reference kernel.py:208-218).
+        for f in kernel_fns:
+            view = Particles(pd, eval_mask)
+            f(view, fsview)
+
+            def rcond(pdd):
+                return jnp.any(pdd["_active"] & (pdd["state"] == StatusCode.Repeat))
+
+            def rbody(pdd, f=f):
+                pdd = dict(pdd)
+                rview = Particles(pdd, pdd["_active"] & (pdd["state"] == StatusCode.Repeat))
+                f(rview, fsview)
+                return pdd
+
+            pd = jax.lax.while_loop(rcond, rbody, pd)
+
+        # Position/time update for lanes still in a normal state
+        # (reference kernel.py:108-120, 222-224).
+        st = pd["state"]
+        upd = eval_mask & ((st == StatusCode.Evaluate) | (st == StatusCode.Success))
+        t_old = pd["t"]
+        uview = Particles(pd, upd)
+        uview.x = pd["x"] + pd["dx"]
+        uview.y = pd["y"] + pd["dy"]
+        uview.z = pd["z"] + pd["dz"]
+        uview.t = pd["t"] + pd["dt"]
+        uview.dx = jnp.zeros_like(pd["dx"])
+        uview.dy = jnp.zeros_like(pd["dy"])
+        uview.dz = jnp.zeros_like(pd["dz"])
+        if rk45_mode:
+            # dt may have been increased by the RK45 kernel
+            uview.dt = pd["next_dt"]
+        else:
+            # revert to the nominal dt (reference kernel.py:227-228)
+            pd["dt"] = jnp.broadcast_to(dt0, pd["dt"].shape).astype(pd["dt"].dtype)
+
+        # Mark particles that reached endtime (reference kernel.py:231-232).
+        # The extra "stuck" clause guards against float32 time underflow
+        # (t + dt == t) which would otherwise spin the loop forever.
+        st = pd["state"]
+        stuck = upd & (pd["t"] == t_old) & (sign_dt * (endtime - pd["t"]) > 0)
+        reached = (pd["t"] == endtime) | stuck
+        pd["state"] = jnp.where(
+            (st == StatusCode.Evaluate) & reached,
+            jnp.int32(StatusCode.EndofLoop),
+            st,
+        )
+
+        # Deletion: clear validity instead of removing rows
+        # (reference kernel.py:235 -> remove_indices).
+        pd["_active"] = pd["_active"] & (pd["state"] != StatusCode.Delete)
+        return pd
+
+    return jax.lax.while_loop(cond, body, pdata)

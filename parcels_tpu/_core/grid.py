@@ -32,8 +32,8 @@ __all__ = ["GridSpec", "XGrid", "grid_search"]
 _AXES_ORDER = "ZYX"
 
 
-def _uniform_spacing(arr: np.ndarray) -> tuple[float, float] | None:
-    """Return (origin, step) if ``arr`` is uniformly spaced, else None."""
+def _uniform_spacing(arr: np.ndarray) -> tuple[float, float, float] | None:
+    """Return (origin, step, last) if ``arr`` is uniformly spaced, else None."""
     if arr.ndim != 1 or arr.shape[0] < 2:
         return None
     d = np.diff(arr.astype(np.float64))
@@ -41,7 +41,7 @@ def _uniform_spacing(arr: np.ndarray) -> tuple[float, float] | None:
     if step <= 0:
         return None
     if np.allclose(d, step, rtol=1e-5, atol=0.0):
-        return float(arr[0]), float(step)
+        return float(arr[0]), float(step), float(arr[-1])
     return None
 
 

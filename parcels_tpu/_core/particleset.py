@@ -254,9 +254,17 @@ class ParticleSet:
         _warn_outputdt_release_desync(outputdt, start_time, np.asarray(self._data["t"]))
 
         rk45_mode = "RK45_tol" in self.fieldset.context
-        executor = self._get_executor(tuple(kernels), sign_dt, rk45_mode)
-        farrays = self.fieldset.device_arrays()
-        dev = {k: jnp.asarray(v) for k, v in self._data.items()}
+        pmesh = getattr(self, "_pmesh", None)
+        executor = self._get_executor(tuple(kernels), sign_dt, rk45_mode, blocked=pmesh is None)
+        if pmesh is not None:
+            farrays = pmesh.shard_fields(self.fieldset.device_arrays())
+            dev = pmesh.shard_soa(self._data)
+        else:
+            from parcels_tpu._core.engine import DEFAULT_BLOCK_SIZE
+
+            self._pad_capacity(DEFAULT_BLOCK_SIZE)
+            farrays = self.fieldset.device_arrays()
+            dev = {k: jnp.asarray(v) for k, v in self._data.items()}
 
         if output_file is not None:
             output_file.set_metadata(self.fieldset, self._pclass, kernels)
@@ -351,14 +359,38 @@ class ParticleSet:
                     )
                     fs.add_context("RK45_max_dt", 60 * 60 * 24)
 
-    def _get_executor(self, kernels: tuple, sign_dt: int, rk45_mode: bool):
-        key = (kernels, sign_dt, rk45_mode, id(self._pclass))
+    def _pad_capacity(self, block_size: int):
+        """Pad the SoA with inactive lanes so n is a multiple of block_size."""
+        n = self._data["state"].shape[0]
+        if n <= block_size or n % block_size == 0:
+            return
+        pad = (-n) % block_size
+        out = {}
+        for k, v in self._data.items():
+            v = np.asarray(v)
+            if k == "_rng":
+                out[k] = v
+                continue
+            fill = np.zeros((pad,) + v.shape[1:], dtype=v.dtype)
+            if k == "particle_id":
+                fill = fill - 1
+            out[k] = np.concatenate([v, fill], axis=0)
+        out["_active"][n:] = False
+        self._data = out
+
+    def _get_executor(self, kernels: tuple, sign_dt: int, rk45_mode: bool, blocked: bool = True):
+        key = (kernels, sign_dt, rk45_mode, blocked, id(self._pclass))
         cache = self.fieldset._executor_cache
         if key not in cache:
             # donate=False keeps pre-chunk snapshots valid for the async
             # output writer; benches without output can rebuild with donation.
             cache[key] = build_chunk_executor(
-                kernels, self.fieldset, sign_dt=sign_dt, rk45_mode=rk45_mode, donate=False
+                kernels,
+                self.fieldset,
+                sign_dt=sign_dt,
+                rk45_mode=rk45_mode,
+                donate=False,
+                block_size=None if blocked else 2**62,
             )
         return cache[key]
 

@@ -87,20 +87,48 @@ def _positions(gpos):
 # ---------------------------------------------------------------------------
 
 
+def _use_pallas_fast_path(field) -> bool:
+    """Static trace-time check: VMEM-foldable field on a TPU backend."""
+    import os
+
+    import jax
+
+    from parcels_tpu.ops.interp_kernels import fits_fast_path
+
+    if os.environ.get("PARCELS_TPU_DISABLE_PALLAS"):
+        return False
+    if not fits_fast_path(field.data.shape):
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
 class XLinear(ScalarInterpolator):
-    """Trilinear interpolation on a regular grid + linear time blend."""
+    """Trilinear interpolation on a regular grid + linear time blend.
+
+    On TPU, fields whose windowed spatial block fits VMEM take the
+    gather-free Pallas path (time-windowed hat-weight MXU contraction, see
+    ops/interp_kernels.py); otherwise the XLA multi-gather path runs.
+    """
 
     def interp(self, ppos, gpos, field):
         data = field.data
         T, Z, Y, X = data.shape
-        ti, tau, zi, zeta, yi, eta, xi, xsi = _positions(gpos)
-        return _multilinear(
-            data,
-            _axis_levels(ti, tau, T, True),
-            _axis_levels(zi, zeta, Z, True),
-            _axis_levels(yi, eta, Y, True),
-            _axis_levels(xi, xsi, X, True),
-        )
+
+        def xla_path():
+            ti, tau, zi, zeta, yi, eta, xi, xsi = _positions(gpos)
+            return _multilinear(
+                data,
+                _axis_levels(ti, tau, T, True),
+                _axis_levels(zi, zeta, Z, True),
+                _axis_levels(yi, eta, Y, True),
+                _axis_levels(xi, xsi, X, True),
+            )
+
+        if _use_pallas_fast_path(field):
+            from parcels_tpu.ops.interp_kernels import linear_sample_windowed
+
+            return linear_sample_windowed(data, gpos, xla_path)
+        return xla_path()
 
 
 class XConstantField(ScalarInterpolator):

@@ -1,0 +1,184 @@
+"""Fused Pallas interpolation kernels (the TPU hot loop).
+
+Why not gather? XLA's generic gather on TPU runs at ~10^8 gathered
+elements/s (measured on v5e — two orders of magnitude below HBM speed), and
+a multilinear field sample needs 8-16 gathers per particle. This path
+eliminates random access entirely for fields whose spatial block fits VMEM:
+
+1. **Time windowing** (engine-level, traced): particles march in lockstep in
+   the common case, so a scalar ``dynamic_slice`` pulls a ``W``-level window
+   of the field; a ``lax.cond`` falls back to the XLA gather path for
+   time-divergent batches (delayed releases spread across >W levels).
+2. **Hat-weight MXU contraction** (Pallas): the window is folded to a dense
+   ``(R, X)`` matrix with ``r = (l*Z + z)*Y + y``. Per-particle multilinear
+   weights along the folded axes are hat functions
+   ``max(0, 1 - |axis_index - position|)`` — exactly the 2-point linear
+   interpolation weights, zero out of range — built in VMEM from iotas
+   (VPU) and contracted with the window on the MXU in f32. The X-axis hat
+   weights then reduce row-wise (VPU).
+
+Cost per particle-sample is ``2*W*Z*Y*X`` flops with no HBM random access;
+the weight matrices never leave VMEM. Large 3-D fields (beyond the VMEM
+budget) use the XLA path until the tiled/sorted kernel lands.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["TIME_WINDOW", "fits_fast_path", "linear_sample_windowed", "positions_from_gpos"]
+
+#: levels in the lockstep time window
+TIME_WINDOW = 4
+#: max R*X f32 elements of the folded window kept VMEM-resident (4 MB)
+MAX_FOLDED_ELEMS = 1 << 20
+#: max padded X extent (bounds the (P, X) accumulator)
+MAX_FOLDED_X = 1024
+
+_P = 1024  # particles per program
+_RC = 512  # folded-row chunk per MXU pass
+
+
+def _pads(shape4):
+    T, Z, Y, X = shape4
+    W = min(TIME_WINDOW, T)
+    R = W * Z * Y
+    Rp = -(-R // 8) * 8
+    Xp = -(-X // 128) * 128
+    return W, R, Rp, Xp
+
+
+def fits_fast_path(shape4) -> bool:
+    """Static check: can this field's windowed fold live in VMEM?"""
+    _, _, Rp, Xp = _pads(shape4)
+    return Rp * Xp <= MAX_FOLDED_ELEMS and Xp <= MAX_FOLDED_X
+
+
+def _hat(delta):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(delta))
+
+
+def _sample_kernel(f2_ref, pt_ref, pz_ref, py_ref, px_ref, out_ref, *, Z, Y):
+    """One program: _P particles against the VMEM-resident folded window."""
+    Rp = f2_ref.shape[0]
+    Xp = f2_ref.shape[1]
+
+    post = pt_ref[:]  # (P, 1); broadcasts against (P, rc) weight tiles
+    posz = pz_ref[:]
+    posy = py_ref[:]
+    posx = px_ref[:]
+
+    zy = float(Z * Y)
+    yf = float(Y)
+
+    g = jnp.zeros((_P, Xp), dtype=jnp.float32)
+    for r0 in range(0, Rp, _RC):
+        rc = min(_RC, Rp - r0)
+        # iota-derived (t, z, y) coordinates per folded row, shape (_P, rc)
+        r = jax.lax.broadcasted_iota(jnp.int32, (_P, rc), 1).astype(jnp.float32) + float(r0)
+        t_of_r = jnp.floor(r / zy)
+        rem = r - t_of_r * zy
+        z_of_r = jnp.floor(rem / yf)
+        y_of_r = rem - z_of_r * yf
+
+        w = _hat(t_of_r - post)
+        w = w * _hat(z_of_r - posz)
+        w = w * _hat(y_of_r - posy)
+
+        g = g + jnp.dot(
+            w,
+            f2_ref[pl.ds(r0, rc), :],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    c = jax.lax.broadcasted_iota(jnp.int32, (_P, Xp), 1).astype(jnp.float32)
+    wx = _hat(c - posx)
+    out_ref[:] = jnp.sum(g * wx, axis=1, keepdims=True)
+
+
+def _pallas_sample(f2, post, posz, posy, posx, Z, Y):
+    n = post.shape[0]
+    npad = -(-n // _P) * _P
+    pad = npad - n
+
+    def prep(p):
+        p = jnp.asarray(p, jnp.float32)
+        if pad:
+            p = jnp.concatenate([p, jnp.full((pad,), -10.0, jnp.float32)])
+        return p.reshape(-1, 1)
+
+    pt, pz, py, px = prep(post), prep(posz), prep(posy), prep(posx)
+    grid = (npad // _P,)
+    Rp, Xp = f2.shape
+
+    pos_spec = pl.BlockSpec((_P, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_sample_kernel, Z=Z, Y=Y),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Rp, Xp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pos_spec,
+            pos_spec,
+            pos_spec,
+            pos_spec,
+        ],
+        out_specs=pl.BlockSpec((_P, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, 1), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * npad * Rp * Xp, bytes_accessed=npad * 24 + Rp * Xp * 4, transcendentals=0
+        ),
+    )(f2, pt, pz, py, px)
+    return out.reshape(-1)[:n]
+
+
+def linear_sample_windowed(data, gpos, fallback):
+    """Multilinear field sample via the windowed Pallas path.
+
+    ``data`` is the full (T, Z, Y, X) device array; ``gpos`` the search
+    result; ``fallback`` a thunk computing the same values via the XLA
+    gather path (used when the particle batch spans more time levels than
+    the window — rare, but required for exactness with delayed releases).
+    """
+    T, Z, Y, X = data.shape
+    W, R, Rp, Xp = _pads(data.shape)
+
+    post, posz, posy, posx = positions_from_gpos(gpos, data.shape)
+    ti0 = jnp.clip(jnp.min(gpos["T"]["index"]), 0, max(T - W, 0)).astype(jnp.int32)
+
+    def windowed(_):
+        win = jax.lax.dynamic_slice(data, (ti0, 0, 0, 0), (W, Z, Y, X))
+        f2 = jnp.pad(win.reshape(R, X).astype(jnp.float32), ((0, Rp - R), (0, Xp - X)))
+        post_w = post - ti0.astype(jnp.float32) if T > 1 else post
+        return _pallas_sample(f2, post_w, posz, posy, posx, Z, Y)
+
+    if T <= W:
+        return windowed(None)
+
+    in_window = jnp.all(post - ti0.astype(jnp.float32) <= W - 1)
+    return jax.lax.cond(in_window, windowed, lambda _: fallback(), None)
+
+
+def positions_from_gpos(gpos, shape4):
+    """Fractional positions (index + bcoord per axis) from a search result.
+
+    Axes whose data extent is 1 pin the position to 0 (no blend), matching
+    the reference's lenT/lenZ == 1 semantics. Out-of-range positions get
+    zero hat weight; the caller zeroes out-of-bounds samples anyway
+    (reference field.py:359-370).
+    """
+    T, Z, Y, X = shape4
+
+    def pos(axis, dim):
+        idx = gpos[axis]["index"].astype(jnp.float32)
+        bc = gpos[axis]["bcoord"].astype(jnp.float32)
+        if dim == 1:
+            return jnp.zeros_like(idx)
+        return idx + bc
+
+    return pos("T", T), pos("Z", Z), pos("Y", Y), pos("X", X)

@@ -1,0 +1,88 @@
+"""Multi-chip scaling: particle sharding over a jax device mesh.
+
+The reference has no distributed backend (SURVEY.md §2.2); this layer is
+designed TPU-first:
+
+- **Particle data parallelism**: the SoA pytree is sharded over a 1-D (or
+  the 'particles' axis of an N-D) `jax.sharding.Mesh`. Every per-particle
+  op in the jitted engine is embarrassingly parallel; XLA inserts only the
+  tiny cross-chip ANY-reductions for the while-loop condition, which ride
+  ICI. Capacity is padded to a multiple of the axis size with inactive
+  lanes (static shapes).
+- **Field replication / domain decomposition**: small forcing fields are
+  replicated; large fields can be domain-decomposed along Y with halo rows
+  (see `parcels_tpu.parallel.domain`), with particles migrating between
+  bands via the deterministic mask-resort in `migrate_sorted`.
+
+Works identically on a virtual 8-device CPU mesh
+(``--xla_force_host_platform_device_count=8``) and a real TPU slice;
+multi-host runs only need `jax.distributed.initialize` before mesh creation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["ParticleMesh", "shard_particleset"]
+
+
+class ParticleMesh:
+    """A 1-D device mesh for particle data parallelism."""
+
+    def __init__(self, n_devices: int | None = None, axis: str = "particles", devices=None):
+        if devices is None:
+            devices = jax.devices()
+            if n_devices is not None:
+                devices = devices[:n_devices]
+        self.axis = axis
+        self.mesh = Mesh(np.asarray(devices), (axis,))
+
+    @property
+    def n(self) -> int:
+        return self.mesh.devices.size
+
+    def particle_sharding(self, ndim: int = 1) -> NamedSharding:
+        spec = (self.axis,) + (None,) * (ndim - 1)
+        return NamedSharding(self.mesh, P(*spec))
+
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    def shard_soa(self, pdata: dict) -> dict:
+        """Pad the SoA to a multiple of the axis size and shard every array.
+
+        Padding lanes are marked inactive (validity mask False), so the
+        engine never advances or writes them.
+        """
+        n = next(v.shape[0] for k, v in pdata.items() if k != "_rng")
+        pad = (-n) % self.n
+        out = {}
+        for k, v in pdata.items():
+            v = np.asarray(v)
+            if k == "_rng":
+                out[k] = jax.device_put(jnp.asarray(v), self.replicated())
+                continue
+            if pad:
+                fill = np.zeros((pad,) + v.shape[1:], dtype=v.dtype)
+                if k == "particle_id":
+                    fill = fill - 1
+                v = np.concatenate([v, fill], axis=0)
+            if k == "_active" and pad:
+                v[n:] = False
+            out[k] = jax.device_put(jnp.asarray(v), self.particle_sharding(v.ndim))
+        return out
+
+    def shard_fields(self, farrays: dict) -> dict:
+        """Replicate field/grid arrays across the mesh."""
+        rep = self.replicated()
+        return jax.tree_util.tree_map(lambda a: jax.device_put(a, rep), farrays)
+
+
+def shard_particleset(pset, pmesh: ParticleMesh):
+    """Bind a ParticleSet to a device mesh: future execute() calls run sharded."""
+    pset._pmesh = pmesh
+    return pset
