@@ -39,11 +39,12 @@ def bench_tpu(npart: int, steps: int, dt: float = 60.0) -> float:
     import jax
     import jax.numpy as jnp
 
-    from parcels_tpu._core.engine import build_chunk_executor
+    from parcels_tpu._core.engine import DEFAULT_BLOCK_SIZE, build_chunk_executor
     from parcels_tpu.kernels import AdvectionRK4
 
     fs, pset = _build(npart)
     executor = build_chunk_executor((AdvectionRK4,), fs, sign_dt=1, rk45_mode=False, donate=False)
+    pset._pad_capacity(DEFAULT_BLOCK_SIZE)
     farrays = fs.device_arrays()
     pdata = {k: jnp.asarray(v) for k, v in pset._data.items()}
 

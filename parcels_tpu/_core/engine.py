@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from parcels_tpu._core.particles_view import Particles
 from parcels_tpu._core.statuscodes import MIN_ERROR_CODE, StatusCode
 
-__all__ = ["DEFAULT_BLOCK_SIZE", "build_chunk_executor"]
+__all__ = ["DEFAULT_BLOCK_SIZE", "build_chunk_executor", "compute_loop_masks", "engine_step"]
 
 #: particles per sequential device block (bounds live intermediate memory)
 DEFAULT_BLOCK_SIZE = int(os.environ.get("PARCELS_TPU_BLOCK_SIZE", 2**21))
@@ -96,6 +96,16 @@ def build_chunk_executor(
     return jax.jit(chunk, donate_argnums=donate_argnums)
 
 
+def compute_loop_masks(pd, endtime, sign_dt):
+    """(busy, halt) lane masks driving the chunk while-loop condition."""
+    st = pd["state"]
+    act = pd["_active"]
+    tte = sign_dt * (endtime - pd["t"])
+    busy = act & ((st == StatusCode.Evaluate) | (st == StatusCode.Repeat)) & (tte >= 0)
+    halt = act & ((st >= MIN_ERROR_CODE) | (st == StatusCode.StopAllExecution))
+    return busy, halt
+
+
 def _run_block(fsview, pdata, endtime, dt0, kernel_fns, sign_dt, rk45_mode):
     """The full inner time loop for one particle block (traced)."""
     # Chunk start: active particles are (re)queued for evaluation
@@ -105,79 +115,80 @@ def _run_block(fsview, pdata, endtime, dt0, kernel_fns, sign_dt, rk45_mode):
     )
 
     def cond(pd):
-        st = pd["state"]
-        act = pd["_active"]
-        tte = sign_dt * (endtime - pd["t"])
-        busy = act & ((st == StatusCode.Evaluate) | (st == StatusCode.Repeat)) & (tte >= 0)
-        halt = act & ((st >= MIN_ERROR_CODE) | (st == StatusCode.StopAllExecution))
+        busy, halt = compute_loop_masks(pd, endtime, sign_dt)
         return jnp.any(busy) & ~jnp.any(halt)
 
     def body(pd):
-        pd = dict(pd)
-        act = pd["_active"]
-        st = pd["state"]
-        tte = sign_dt * (endtime - pd["t"])
-        eval_mask = act & ((st == StatusCode.Success) | (st == StatusCode.Evaluate)) & (tte >= 0)
-
-        # Clamp dt so particles land exactly on endtime
-        # (reference kernel.py:201-205; applied array-wide).
-        if sign_dt == 1:
-            pd["dt"] = jnp.maximum(jnp.minimum(pd["dt"], tte), 0.0).astype(pd["dt"].dtype)
-        else:
-            pd["dt"] = jnp.minimum(jnp.maximum(pd["dt"], -tte), 0.0).astype(pd["dt"].dtype)
-
-        # Kernel chain; each kernel is followed by masked Repeat
-        # resubmission (RK45 adaptive dt, reference kernel.py:208-218).
-        for f in kernel_fns:
-            view = Particles(pd, eval_mask)
-            f(view, fsview)
-
-            def rcond(pdd):
-                return jnp.any(pdd["_active"] & (pdd["state"] == StatusCode.Repeat))
-
-            def rbody(pdd, f=f):
-                pdd = dict(pdd)
-                rview = Particles(pdd, pdd["_active"] & (pdd["state"] == StatusCode.Repeat))
-                f(rview, fsview)
-                return pdd
-
-            pd = jax.lax.while_loop(rcond, rbody, pd)
-
-        # Position/time update for lanes still in a normal state
-        # (reference kernel.py:108-120, 222-224).
-        st = pd["state"]
-        upd = eval_mask & ((st == StatusCode.Evaluate) | (st == StatusCode.Success))
-        t_old = pd["t"]
-        uview = Particles(pd, upd)
-        uview.x = pd["x"] + pd["dx"]
-        uview.y = pd["y"] + pd["dy"]
-        uview.z = pd["z"] + pd["dz"]
-        uview.t = pd["t"] + pd["dt"]
-        uview.dx = jnp.zeros_like(pd["dx"])
-        uview.dy = jnp.zeros_like(pd["dy"])
-        uview.dz = jnp.zeros_like(pd["dz"])
-        if rk45_mode:
-            # dt may have been increased by the RK45 kernel
-            uview.dt = pd["next_dt"]
-        else:
-            # revert to the nominal dt (reference kernel.py:227-228)
-            pd["dt"] = jnp.broadcast_to(dt0, pd["dt"].shape).astype(pd["dt"].dtype)
-
-        # Mark particles that reached endtime (reference kernel.py:231-232).
-        # The extra "stuck" clause guards against float32 time underflow
-        # (t + dt == t) which would otherwise spin the loop forever.
-        st = pd["state"]
-        stuck = upd & (pd["t"] == t_old) & (sign_dt * (endtime - pd["t"]) > 0)
-        reached = (pd["t"] == endtime) | stuck
-        pd["state"] = jnp.where(
-            (st == StatusCode.Evaluate) & reached,
-            jnp.int32(StatusCode.EndofLoop),
-            st,
-        )
-
-        # Deletion: clear validity instead of removing rows
-        # (reference kernel.py:235 -> remove_indices).
-        pd["_active"] = pd["_active"] & (pd["state"] != StatusCode.Delete)
-        return pd
+        return engine_step(fsview, pd, endtime, dt0, kernel_fns, sign_dt, rk45_mode)
 
     return jax.lax.while_loop(cond, body, pdata)
+
+
+def engine_step(fsview, pd, endtime, dt0, kernel_fns, sign_dt, rk45_mode):
+    """One iteration of the inner loop: kernel chain + state machine update."""
+    pd = dict(pd)
+    act = pd["_active"]
+    st = pd["state"]
+    tte = sign_dt * (endtime - pd["t"])
+    eval_mask = act & ((st == StatusCode.Success) | (st == StatusCode.Evaluate)) & (tte >= 0)
+
+    # Clamp dt so particles land exactly on endtime
+    # (reference kernel.py:201-205; applied array-wide).
+    if sign_dt == 1:
+        pd["dt"] = jnp.maximum(jnp.minimum(pd["dt"], tte), 0.0).astype(pd["dt"].dtype)
+    else:
+        pd["dt"] = jnp.minimum(jnp.maximum(pd["dt"], -tte), 0.0).astype(pd["dt"].dtype)
+
+    # Kernel chain; each kernel is followed by masked Repeat
+    # resubmission (RK45 adaptive dt, reference kernel.py:208-218).
+    for f in kernel_fns:
+        view = Particles(pd, eval_mask)
+        f(view, fsview)
+
+        def rcond(pdd):
+            return jnp.any(pdd["_active"] & (pdd["state"] == StatusCode.Repeat))
+
+        def rbody(pdd, f=f):
+            pdd = dict(pdd)
+            rview = Particles(pdd, pdd["_active"] & (pdd["state"] == StatusCode.Repeat))
+            f(rview, fsview)
+            return pdd
+
+        pd = jax.lax.while_loop(rcond, rbody, pd)
+
+    # Position/time update for lanes still in a normal state
+    # (reference kernel.py:108-120, 222-224).
+    st = pd["state"]
+    upd = eval_mask & ((st == StatusCode.Evaluate) | (st == StatusCode.Success))
+    t_old = pd["t"]
+    uview = Particles(pd, upd)
+    uview.x = pd["x"] + pd["dx"]
+    uview.y = pd["y"] + pd["dy"]
+    uview.z = pd["z"] + pd["dz"]
+    uview.t = pd["t"] + pd["dt"]
+    uview.dx = jnp.zeros_like(pd["dx"])
+    uview.dy = jnp.zeros_like(pd["dy"])
+    uview.dz = jnp.zeros_like(pd["dz"])
+    if rk45_mode:
+        # dt may have been increased by the RK45 kernel
+        uview.dt = pd["next_dt"]
+    else:
+        # revert to the nominal dt (reference kernel.py:227-228)
+        pd["dt"] = jnp.broadcast_to(dt0, pd["dt"].shape).astype(pd["dt"].dtype)
+
+    # Mark particles that reached endtime (reference kernel.py:231-232).
+    # The extra "stuck" clause guards against float32 time underflow
+    # (t + dt == t) which would otherwise spin the loop forever.
+    st = pd["state"]
+    stuck = upd & (pd["t"] == t_old) & (sign_dt * (endtime - pd["t"]) > 0)
+    reached = (pd["t"] == endtime) | stuck
+    pd["state"] = jnp.where(
+        (st == StatusCode.Evaluate) & reached,
+        jnp.int32(StatusCode.EndofLoop),
+        st,
+    )
+
+    # Deletion: clear validity instead of removing rows
+    # (reference kernel.py:235 -> remove_indices).
+    pd["_active"] = pd["_active"] & (pd["state"] != StatusCode.Delete)
+    return pd

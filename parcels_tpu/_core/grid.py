@@ -66,6 +66,10 @@ class GridSpec:
     offset_y: int = 0
     offset_z: int = 0
     has_lookup: bool = False
+    # Global-domain OOB limits for the Y axis; set by domain decomposition
+    # where the local lat slab is halo-extended past the band edge but OOB
+    # must be judged against the global domain (parallel/domain.py).
+    y_oob_bounds: tuple[float, float] | None = None
 
 
 class XGrid:
@@ -333,7 +337,9 @@ def grid_search(spec: GridSpec, garrs: dict, z, y, x, ei=None, lookup_meta: dict
         }
 
     if "Y" in spec.axes:
-        yi, eta = index_search.search_1d(garrs["lat"], y, spec.lat_uniform)
+        yi, eta = index_search.search_1d(
+            garrs["lat"], y, spec.lat_uniform, oob_bounds=spec.y_oob_bounds
+        )
     else:
         yi = jnp.zeros(y.shape, dtype=jnp.int32)
         eta = jnp.zeros(y.shape, dtype=y.dtype)

@@ -26,12 +26,20 @@ LEFT_OUT_OF_BOUNDS = -2
 RIGHT_OUT_OF_BOUNDS = -1
 
 
-def search_1d(arr: jnp.ndarray, x: jnp.ndarray, uniform: tuple[float, float, float] | None = None):
+def search_1d(
+    arr: jnp.ndarray,
+    x: jnp.ndarray,
+    uniform: tuple[float, float, float] | None = None,
+    oob_bounds: tuple[float, float] | None = None,
+):
     """Bracket positions ``x`` in strictly-increasing 1-D ``arr``.
 
     Returns ``(index, bcoord)`` where ``index`` is the left bracket (or an
     OOB sentinel) and ``bcoord`` the barycentric coordinate in [0, 1).
     ``uniform=(origin, step, last)`` enables the gather-free O(1) path.
+    ``oob_bounds=(lo, hi)`` overrides the out-of-bounds limits — used by
+    domain decomposition, where ``arr`` is the local halo-extended slab but
+    OOB must be judged against the *global* domain edges.
     """
     n = arr.shape[0]
     if n < 2:
@@ -47,8 +55,9 @@ def search_1d(arr: jnp.ndarray, x: jnp.ndarray, uniform: tuple[float, float, flo
         fidx = jnp.clip(jnp.floor(s), 0, n - 2)
         idx = fidx.astype(jnp.int32)
         bcoord = s - fidx
-        idx = jnp.where(x < origin, LEFT_OUT_OF_BOUNDS, idx)
-        idx = jnp.where(x > last, RIGHT_OUT_OF_BOUNDS, idx)
+        lo, hi = (origin, last) if oob_bounds is None else oob_bounds
+        idx = jnp.where(x < lo, LEFT_OUT_OF_BOUNDS, idx)
+        idx = jnp.where(x > hi, RIGHT_OUT_OF_BOUNDS, idx)
         return idx, bcoord
 
     idx = jnp.clip(jnp.searchsorted(arr, x, side="right").astype(jnp.int32) - 1, 0, n - 2)
@@ -56,8 +65,9 @@ def search_1d(arr: jnp.ndarray, x: jnp.ndarray, uniform: tuple[float, float, flo
     right = arr[jnp.clip(idx + 1, 1, n - 1)]
     bcoord = (x - left) / (right - left)
 
-    idx = jnp.where(x < arr[0], LEFT_OUT_OF_BOUNDS, idx)
-    idx = jnp.where(x > arr[-1], RIGHT_OUT_OF_BOUNDS, idx)
+    lo, hi = (arr[0], arr[-1]) if oob_bounds is None else oob_bounds
+    idx = jnp.where(x < lo, LEFT_OUT_OF_BOUNDS, idx)
+    idx = jnp.where(x > hi, RIGHT_OUT_OF_BOUNDS, idx)
     return idx, bcoord
 
 

@@ -255,11 +255,25 @@ class ParticleSet:
 
         rk45_mode = "RK45_tol" in self.fieldset.context
         pmesh = getattr(self, "_pmesh", None)
-        executor = self._get_executor(tuple(kernels), sign_dt, rk45_mode, blocked=pmesh is None)
-        if pmesh is not None:
+        domain = getattr(self, "_domain", None)
+        if domain is not None:
+            from parcels_tpu.parallel.domain import build_domain_executor
+
+            key = (tuple(kernels), sign_dt, rk45_mode, "domain", id(domain))
+            cache = self.fieldset._executor_cache
+            if key not in cache:
+                cache[key] = build_domain_executor(
+                    tuple(kernels), domain, sign_dt=sign_dt, rk45_mode=rk45_mode
+                )
+            executor = cache[key]
+            farrays = domain.stacked_farrays()
+            dev = domain.shard_soa(self._data)
+        elif pmesh is not None:
+            executor = self._get_executor(tuple(kernels), sign_dt, rk45_mode, blocked=False)
             farrays = pmesh.shard_fields(self.fieldset.device_arrays())
             dev = pmesh.shard_soa(self._data)
         else:
+            executor = self._get_executor(tuple(kernels), sign_dt, rk45_mode, blocked=True)
             from parcels_tpu._core.engine import DEFAULT_BLOCK_SIZE
 
             self._pad_capacity(DEFAULT_BLOCK_SIZE)
@@ -293,6 +307,11 @@ class ParticleSet:
                 states = np.asarray(dev["state"])
                 active = np.asarray(dev["_active"])
                 self._raise_errors(dev, states, active)
+                if "_migof" in dev and int(np.asarray(dev["_migof"]).sum()) > 0:
+                    raise RuntimeError(
+                        "Particle migration buffer overflow: increase "
+                        "YBandDomain(headroom=..., migration_capacity=...) or halo."
+                    )
 
                 if next_output is not None and abs(next_time - next_output) < 1e-3:
                     if output_file:
@@ -309,8 +328,11 @@ class ParticleSet:
         finally:
             if pbar is not None:
                 pbar.close()
-            # Pull the SoA back to host as the source of truth.
-            self._data = {k: np.asarray(v) for k, v in dev.items()}
+            # Pull the SoA back to host as the source of truth. _migof is a
+            # per-device migration diagnostic, not a particle variable.
+            self._data = {k: np.asarray(v) for k, v in dev.items() if k != "_migof"}
+            if "_rng" in self._data and self._data["_rng"].ndim == 2:
+                self._data["_rng"] = self._data["_rng"][0]
             if output_file is not None:
                 output_file.flush()
 

@@ -1,0 +1,421 @@
+"""Field domain decomposition + particle migration over a TPU device mesh.
+
+The reference has no distributed backend (SURVEY.md §2.2); this is the
+TPU-native scaling design for fields too large to replicate:
+
+- **Y-band decomposition**: each device of a 1-D ``Mesh`` owns a contiguous
+  band of grid cells along Y (latitude). Every field on a banded grid is
+  sliced into per-band slabs *with halo rows* on both sides, so a particle
+  can be advected while up to ``halo`` cells outside its owner's band
+  without any communication.
+- **Per-step particle migration**: after every engine step, particles whose
+  ``y`` crossed the owning band's edge are packed into a fixed-capacity
+  buffer and handed to the neighbor device with ``lax.ppermute`` (ICI
+  neighbor hop — the cheapest collective on a TPU torus), then merged into
+  the receiver's inactive lanes. Static shapes throughout: this is the
+  "ragged all_to_all with capacity padding + compaction" design from
+  SURVEY.md §7.3.
+- **Global OOB semantics preserved**: the local lat slab is halo-extended,
+  so out-of-bounds is judged against the *global* domain edges carried in
+  ``GridSpec.y_oob_bounds`` — a particle leaving the global domain gets the
+  same sentinel/status treatment as on a single chip (reference
+  field.py:327-357), while a particle merely leaving its band migrates.
+
+Correctness invariant (tested in tests/test_domain.py): trajectories are
+identical (up to f32 roundoff) to the single-device run, including particles
+that cross band boundaries mid-run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from parcels_tpu._core.engine import compute_loop_masks, engine_step
+from parcels_tpu._core.field import FieldView, GridView, VectorFieldView
+from parcels_tpu._core.fieldset import FieldSetView
+from parcels_tpu._core.statuscodes import StatusCode
+
+__all__ = ["YBandDomain", "build_domain_executor"]
+
+#: SoA keys that are per-device scalars/keys rather than particle lanes
+_NON_LANE_KEYS = ("_rng", "_migof")
+
+
+class YBandDomain:
+    """Y-band domain decomposition of a structured-grid FieldSet.
+
+    Parameters
+    ----------
+    fieldset : FieldSet
+        Must contain at least one rectilinear grid with a Y axis; grids
+        without a Y axis (e.g. constant fields) are replicated.
+    n_bands : int, optional
+        Number of bands = number of devices used (default: all devices).
+    halo : int
+        Halo rows on each side of a band, in cells. Must be >= the maximum
+        per-step particle displacement in cells (a CFL-like condition);
+        migration happens every engine step, so one step is the bound.
+    headroom : float
+        Per-band lane capacity multiplier over the initial max band
+        occupancy, to leave room for inbound migrants.
+    migration_capacity : int, optional
+        Max particles exchanged per neighbor hop per step (default:
+        1/8 of the per-band lane count, min 64). Overflow is detected and
+        raised host-side — it means halo/capacity need enlarging, never
+        silent corruption.
+    """
+
+    def __init__(
+        self,
+        fieldset,
+        n_bands: int | None = None,
+        halo: int = 2,
+        devices=None,
+        headroom: float = 2.0,
+        migration_capacity: int | None = None,
+        axis: str = "bands",
+    ):
+        if devices is None:
+            devices = jax.devices()
+            if n_bands is not None:
+                devices = devices[: n_bands]
+        self.n = len(devices)
+        self.axis = axis
+        self.mesh = Mesh(np.asarray(devices), (axis,))
+        self.halo = int(halo)
+        self.headroom = float(headroom)
+        self.migration_capacity = migration_capacity
+        self.fieldset = fieldset
+        self._stacked_cache = None
+
+        h, n = self.halo, self.n
+        self._grid_plans: list[dict] = []
+        banded_any = False
+        for grid in fieldset.gridset:
+            spec = grid.spec
+            if "Y" in spec.axes and not spec.curvilinear and spec.ydim >= n:
+                la = np.asarray(grid.lat, dtype=np.float64)
+                ydim = spec.ydim  # cells; nodes = ydim + 1
+                Yb = math.ceil(ydim / n)
+                extra = n * Yb - ydim
+                d0 = la[1] - la[0]
+                dN = la[-1] - la[-2]
+                north = la[-1] + dN * np.arange(1, extra + h + 1)
+                south = la[0] - d0 * np.arange(h, 0, -1)
+                lax_ext = np.concatenate([south, la, north])  # h + (n*Yb+1) + h nodes
+                Yl = Yb + 2 * h
+                # band ownership edges in the padded (no-halo) node frame
+                edges = lax_ext[h + Yb * np.arange(n + 1)]
+                band_lo = edges[:-1].copy()
+                band_hi = edges[1:].copy()
+                band_lo[0] = -np.inf
+                band_hi[-1] = np.inf
+                local_spec = dataclasses.replace(
+                    spec,
+                    ydim=Yl,
+                    lat_uniform=None,
+                    has_lookup=False,
+                    y_oob_bounds=(float(la[0]), float(la[-1])),
+                )
+                # per-band node slices into the extended frame
+                starts = Yb * np.arange(n)
+                lat_slabs = np.stack([lax_ext[s : s + Yl + 1] for s in starts])
+                self._grid_plans.append(
+                    {
+                        "banded": True,
+                        "grid": grid,
+                        "spec": local_spec,
+                        "row_starts": starts,
+                        "rows": Yl + 1,
+                        "pad_south": h,
+                        "pad_north": extra + h,
+                        "lat_slabs": lat_slabs.astype(np.float32),
+                        "band_lo": band_lo,
+                        "band_hi": band_hi,
+                        "ydim_nodes": ydim + 1,
+                    }
+                )
+                banded_any = True
+            else:
+                if "Y" in spec.axes and spec.curvilinear:
+                    raise NotImplementedError(
+                        "Domain decomposition of curvilinear grids is not yet supported."
+                    )
+                self._grid_plans.append({"banded": False, "grid": grid, "spec": spec})
+        if not banded_any:
+            raise ValueError("FieldSet has no grid decomposable along Y.")
+        main = next(p for p in self._grid_plans if p["banded"])
+        self.band_lo = main["band_lo"]
+        self.band_hi = main["band_hi"]
+        # interior edges for host-side band assignment
+        self._interior_edges = main["band_hi"][:-1]
+
+    # -- device data ---------------------------------------------------------
+    def _sharding(self, ndim: int) -> NamedSharding:
+        return NamedSharding(self.mesh, P(*((self.axis,) + (None,) * (ndim - 1))))
+
+    def stacked_farrays(self) -> dict:
+        """Per-band field/grid slabs stacked on a leading device axis, sharded."""
+        if self._stacked_cache is not None:
+            return self._stacked_cache
+        n, h = self.n, self.halo
+        out = {"fields": {}, "grids": []}
+        for plan in self._grid_plans:
+            grid = plan["grid"]
+            garrs = {k: np.asarray(v) for k, v in grid.device_arrays().items()}
+            if plan["banded"]:
+                garrs["lat"] = plan["lat_slabs"]
+                for k in ("lon", "depth", "time"):
+                    garrs[k] = np.broadcast_to(garrs[k], (n,) + garrs[k].shape)
+                garrs.pop("lookup_yi", None)
+                garrs.pop("lookup_xi", None)
+            else:
+                garrs = {k: np.broadcast_to(v, (n,) + v.shape) for k, v in garrs.items()}
+            out["grids"].append(
+                {k: jax.device_put(jnp.asarray(v), self._sharding(v.ndim)) for k, v in garrs.items()}
+            )
+        from parcels_tpu._core.field import Field
+
+        for name, f in self.fieldset.fields.items():
+            if not isinstance(f, Field):
+                continue
+            plan = self._grid_plans[f.igrid]
+            data = np.asarray(f.data, dtype=np.float32)
+            if plan["banded"]:
+                ps, pn = plan["pad_south"], plan["pad_north"]
+                ext = np.concatenate(
+                    [
+                        np.repeat(data[:, :, :1, :], ps, axis=2),
+                        data,
+                        np.repeat(data[:, :, -1:, :], pn, axis=2),
+                    ],
+                    axis=2,
+                )
+                slabs = np.stack(
+                    [ext[:, :, s : s + plan["rows"], :] for s in plan["row_starts"]]
+                )
+            else:
+                slabs = np.broadcast_to(data, (n,) + data.shape)
+            out["fields"][name] = jax.device_put(
+                jnp.asarray(slabs), self._sharding(slabs.ndim)
+            )
+        out["band_lo"] = jax.device_put(
+            jnp.asarray(self.band_lo, dtype=jnp.float32), self._sharding(1)
+        )
+        out["band_hi"] = jax.device_put(
+            jnp.asarray(self.band_hi, dtype=jnp.float32), self._sharding(1)
+        )
+        self._stacked_cache = out
+        return out
+
+    def build_views(self, farrays_local: dict) -> FieldSetView:
+        """Local FieldSetView inside one shard (mirrors FieldSet.build_views)."""
+        from parcels_tpu._core.field import Field, VectorField
+
+        grid_views = []
+        for i, plan in enumerate(self._grid_plans):
+            grid_views.append(GridView(plan["spec"], farrays_local["grids"][i], None))
+        views: dict[str, object] = {}
+        for name, f in self.fieldset.fields.items():
+            if isinstance(f, Field):
+                has_time = f.data.shape[0] > 1
+                views[name] = FieldView(
+                    name,
+                    farrays_local["fields"][name],
+                    grid_views[f.igrid],
+                    f.igrid,
+                    f.interp_method,
+                    has_time,
+                )
+        for name, f in self.fieldset.fields.items():
+            if isinstance(f, VectorField):
+                views[name] = VectorFieldView(
+                    name,
+                    views[f.U.name],
+                    views[f.V.name],
+                    views[f.W.name] if f.W is not None else None,
+                    f.interp_method,
+                )
+        return FieldSetView(views, dict(self.fieldset.context))
+
+    # -- particle sharding ----------------------------------------------------
+    def band_of(self, y: np.ndarray) -> np.ndarray:
+        return np.searchsorted(self._interior_edges, np.asarray(y), side="right")
+
+    def lane_capacity(self, pdata: dict) -> int:
+        counts = np.bincount(
+            self.band_of(np.asarray(pdata["y"])[np.asarray(pdata["_active"])]),
+            minlength=self.n,
+        )
+        cap = max(int(counts.max() * self.headroom), 8)
+        return -(-cap // 8) * 8
+
+    def shard_soa(self, pdata: dict, lane_capacity: int | None = None) -> dict:
+        """Regroup the SoA by owning band, pad each band to equal capacity, shard.
+
+        Returns flat per-lane arrays of length ``n * L`` (band-major) plus the
+        per-device ``_rng`` (n, 2) and ``_migof`` (n,) entries.
+        """
+        L = lane_capacity or self.lane_capacity(pdata)
+        n = self.n
+        band = self.band_of(np.asarray(pdata["y"]))
+        order = np.argsort(band, kind="stable")
+        counts = np.bincount(band, minlength=n)
+        if counts.max() > L:
+            raise ValueError(f"Band occupancy {counts.max()} exceeds lane capacity {L}.")
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        out = {}
+        for k, v in pdata.items():
+            v = np.asarray(v)
+            if k == "_rng":
+                keys = jax.random.split(jax.random.wrap_key_data(jnp.asarray(v), impl="threefry2x32"), n)
+                out[k] = jax.device_put(jax.random.key_data(keys), self._sharding(2))
+                continue
+            buf = np.zeros((n * L,) + v.shape[1:], dtype=v.dtype)
+            if k == "particle_id":
+                buf -= 1
+            for b in range(n):
+                rows = order[offs[b] : offs[b + 1]]
+                buf[b * L : b * L + len(rows)] = v[rows]
+            if k == "_active":
+                for b in range(n):
+                    buf[b * L + counts[b] : (b + 1) * L] = False
+            out[k] = jax.device_put(jnp.asarray(buf), self._sharding(buf.ndim))
+        out["_migof"] = jax.device_put(
+            jnp.zeros(n, dtype=jnp.int32), self._sharding(1)
+        )
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Migration (traced, inside shard_map)
+# ---------------------------------------------------------------------------
+
+
+def _neighbor_exchange(pd: dict, mover, shift: int, axis: str, n_dev: int, cap: int):
+    """Send ``mover`` lanes to the device at +shift; merge into its free lanes.
+
+    Static-shape ragged exchange: movers are compacted (argsort puts them
+    first) into a ``cap``-lane buffer, ppermuted one hop over ICI, and
+    scattered into the receiver's inactive lanes. Returns (pd, overflow):
+    overflow counts particles dropped because the send buffer or the
+    receiver's free lanes were exhausted — the host raises on any overflow.
+    """
+    lane_keys = [k for k in pd if k not in _NON_LANE_KEYS and k != "_active"]
+    L = mover.shape[0]
+
+    order = jnp.argsort(~mover)  # movers (True) sort first via ~mover False
+    sel = order[:cap]
+    sel_valid = mover[sel]
+    count = jnp.sum(mover)
+    send_overflow = jnp.maximum(count - cap, 0)
+
+    buf = {k: pd[k][sel] for k in lane_keys}
+    # deactivate only the lanes actually sent
+    sent = jnp.zeros(L, dtype=bool).at[sel].set(sel_valid)
+    pd["_active"] = pd["_active"] & ~sent
+
+    perm = [(i, i + shift) for i in range(n_dev) if 0 <= i + shift < n_dev]
+    rbuf = {k: jax.lax.ppermute(v, axis, perm) for k, v in buf.items()}
+    rvalid = jax.lax.ppermute(sel_valid, axis, perm)  # devices w/o a source get False
+
+    free_order = jnp.argsort(pd["_active"])  # inactive lanes first
+    dst = free_order[:cap]
+    n_free = jnp.sum(~pd["_active"])
+    take = rvalid & (jnp.arange(rvalid.shape[0]) < n_free)  # rvalid is prefix-true
+    recv_overflow = jnp.maximum(jnp.sum(rvalid) - n_free, 0)
+
+    for k in lane_keys:
+        old = pd[k][dst]
+        m = take if pd[k].ndim == 1 else take[:, None]
+        pd[k] = pd[k].at[dst].set(jnp.where(m, rbuf[k], old))
+    pd["_active"] = pd["_active"].at[dst].set(take | pd["_active"][dst])
+    return pd, (send_overflow + recv_overflow).astype(jnp.int32)
+
+
+def _migrate(pd: dict, band_lo, band_hi, axis: str, n_dev: int, cap: int):
+    """Hand off particles that crossed their band edge to the neighbor device."""
+    overflow = jnp.int32(0)
+    for shift, cross in ((1, pd["y"] >= band_hi), (-1, pd["y"] < band_lo)):
+        mover = pd["_active"] & cross
+        pd, of = _neighbor_exchange(pd, mover, shift, axis, n_dev, cap)
+        overflow = overflow + of
+    pd["_migof"] = pd["_migof"] + overflow
+    return pd
+
+
+# ---------------------------------------------------------------------------
+# Executor
+# ---------------------------------------------------------------------------
+
+
+def build_domain_executor(kernel_fns, dom: YBandDomain, *, sign_dt: int, rk45_mode: bool):
+    """Compile the multi-device chunk executor for a Y-band decomposition.
+
+    Same call signature as the single-device executor
+    (engine.build_chunk_executor): (farrays, pdata, endtime, dt0) -> pdata.
+    The whole chunk — engine steps AND per-step migration — is one jitted
+    shard_map program; the while-loop condition is made mesh-uniform with a
+    ppermute-free pmax all-reduce so every device stays in lockstep for the
+    neighbor exchanges.
+    """
+    kernel_fns = tuple(kernel_fns)
+    axis = dom.axis
+    n_dev = dom.n
+
+    def chunk(farrays, pdata, endtime, dt0):
+        endtime = jnp.asarray(endtime, dtype=pdata["t"].dtype)
+        dt0 = jnp.asarray(dt0, dtype=pdata["dt"].dtype)
+        lanes_local = pdata["state"].shape[0] // n_dev
+        cap = dom.migration_capacity or max(lanes_local // 8, 64)
+        cap = min(cap, lanes_local)
+
+        def device_fn(farrays, pd):
+            # Every stacked leaf has a leading device axis of local size 1.
+            farrays = jax.tree_util.tree_map(lambda a: a[0], farrays)
+            band_lo = farrays["band_lo"]
+            band_hi = farrays["band_hi"]
+            fsview = dom.build_views(farrays)
+            pd = dict(pd)
+            pd["_rng"] = pd["_rng"][0]
+            pd["_migof"] = pd["_migof"][0]
+            pd["state"] = jnp.where(
+                pd["_active"], jnp.int32(StatusCode.Evaluate), pd["state"]
+            )
+
+            def cond(pd):
+                busy, halt = compute_loop_masks(pd, endtime, sign_dt)
+                busy_any = jax.lax.pmax(jnp.any(busy).astype(jnp.int32), axis)
+                halt_any = jax.lax.pmax(jnp.any(halt).astype(jnp.int32), axis)
+                return (busy_any > 0) & (halt_any == 0)
+
+            def body(pd):
+                pd = engine_step(fsview, pd, endtime, dt0, kernel_fns, sign_dt, rk45_mode)
+                return _migrate(pd, band_lo, band_hi, axis, n_dev, cap)
+
+            pd = jax.lax.while_loop(cond, body, pd)
+            pd["_rng"] = pd["_rng"][None]
+            pd["_migof"] = pd["_migof"][None]
+            return pd
+
+        def spec_of(a):
+            return P(*((axis,) + (None,) * (jnp.ndim(a) - 1)))
+
+        in_pspecs = {k: spec_of(v) for k, v in pdata.items()}
+        farray_specs = jax.tree_util.tree_map(spec_of, farrays)
+        fn = jax.shard_map(
+            device_fn,
+            mesh=dom.mesh,
+            in_specs=(farray_specs, in_pspecs),
+            out_specs=in_pspecs,
+        )
+        return fn(farrays, pdata)
+
+    return jax.jit(chunk)

@@ -82,7 +82,13 @@ class ParticleMesh:
         return jax.tree_util.tree_map(lambda a: jax.device_put(a, rep), farrays)
 
 
-def shard_particleset(pset, pmesh: ParticleMesh):
-    """Bind a ParticleSet to a device mesh: future execute() calls run sharded."""
-    pset._pmesh = pmesh
+def shard_particleset(pset, pmesh):
+    """Bind a ParticleSet to a ParticleMesh or YBandDomain: future execute()
+    calls run sharded over the corresponding device mesh."""
+    from parcels_tpu.parallel.domain import YBandDomain
+
+    if isinstance(pmesh, YBandDomain):
+        pset._domain = pmesh
+    else:
+        pset._pmesh = pmesh
     return pset

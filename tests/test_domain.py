@@ -1,0 +1,121 @@
+"""Y-band domain decomposition: trajectory invariance vs. single-device runs.
+
+The reference has no distributed backend; the correctness contract for the
+TPU scaling layer is SURVEY.md §4 "multi-node testing": migration must not
+change trajectories. Runs on the 8-device virtual CPU mesh from conftest.
+
+The flat ``simple_UV_dataset`` spans [-1e6, 1e6] m in x/y (cell ~64.5 km at
+32 nodes); 8 bands are 250 km each, so a 10 m/s meridional flow over a day
+(864 km) crosses ~3.5 band boundaries.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from parcels_tpu import FieldSet, ParticleSet
+from parcels_tpu.datasets import radial_rotation_dataset, simple_UV_dataset
+from parcels_tpu.kernels import AdvectionEE, AdvectionRK4
+from parcels_tpu.parallel import YBandDomain, shard_particleset
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs a multi-device mesh"
+)
+
+DAY = 86400
+
+
+def _uniform_flow_fieldset(u, v, dims=(2, 2, 32, 32)):
+    ds = simple_UV_dataset(dims=dims, mesh="flat")
+    ds["U"].values[:] = u
+    ds["V"].values[:] = v
+    return FieldSet.from_sgrid_conventions(ds, mesh="flat")
+
+
+def _run(fieldset, x, y, kernel, runtime_s, dt_s, domain=None):
+    pset = ParticleSet(fieldset, x=x.copy(), y=y.copy(), t=np.zeros(x.size))
+    if domain is not None:
+        shard_particleset(pset, domain)
+    pset.execute(kernel, dt=np.timedelta64(dt_s, "s"), runtime=np.timedelta64(runtime_s, "s"))
+    order = np.argsort(pset.particle_id)
+    return pset.x[order], pset.y[order]
+
+
+def test_meridional_flow_crosses_bands():
+    """Northward flow pushes every particle across several band boundaries."""
+    fs_single = _uniform_flow_fieldset(0.0, 10.0)
+    fs_domain = _uniform_flow_fieldset(0.0, 10.0)
+    rng = np.random.default_rng(42)
+    x = rng.uniform(-9e5, 9e5, 64)
+    y = rng.uniform(-9e5, -5e5, 64)
+
+    xs, ys = _run(fs_single, x, y, AdvectionRK4, DAY, 600)
+    dom = YBandDomain(fs_domain, n_bands=8, halo=2)
+    xd, yd = _run(fs_domain, x, y, AdvectionRK4, DAY, 600, domain=dom)
+
+    np.testing.assert_allclose(ys, y + 10.0 * DAY, rtol=1e-5, atol=0.1)
+    # banded search brackets via local searchsorted vs. the global analytic
+    # uniform path -> last-ulp bcoord differences accumulate over 144 steps;
+    # 0.1 m over a 2000 km domain is f32 roundoff, not a physics difference.
+    np.testing.assert_allclose(xd, xs, rtol=1e-6, atol=0.1)
+    np.testing.assert_allclose(yd, ys, rtol=1e-6, atol=0.1)
+
+
+def test_rotation_trajectories_match_single_device():
+    """Solid-body rotation on a banded grid: decomposed == single device."""
+    fs_single = FieldSet.from_sgrid_conventions(radial_rotation_dataset(), mesh="flat")
+    fs_domain = FieldSet.from_sgrid_conventions(radial_rotation_dataset(), mesh="flat")
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(25.0, 55.0, 32)
+    y = rng.uniform(25.0, 55.0, 32)
+
+    xs, ys = _run(fs_single, x, y, AdvectionRK4, 3600 * 6, 60)
+    dom = YBandDomain(fs_domain, n_bands=8, halo=3)
+    xd, yd = _run(fs_domain, x, y, AdvectionRK4, 3600 * 6, 60, domain=dom)
+
+    np.testing.assert_allclose(xd, xs, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(yd, ys, rtol=1e-5, atol=1e-4)
+
+
+def test_migration_preserves_particle_identity():
+    """Cross-band particles keep their id; none lost or duplicated."""
+    fs = _uniform_flow_fieldset(0.0, 10.0)
+    n = 40
+    x = np.linspace(-8e5, 8e5, n)
+    y = np.full(n, -8e5)
+    pset = ParticleSet(fs, x=x, y=y, t=np.zeros(n))
+    dom = YBandDomain(fs, n_bands=8, halo=2)
+    shard_particleset(pset, dom)
+    pset.execute(AdvectionEE, dt=np.timedelta64(600, "s"), runtime=np.timedelta64(DAY, "s"))
+
+    ids = np.sort(pset.particle_id)
+    np.testing.assert_array_equal(ids, np.arange(n))
+    np.testing.assert_allclose(np.sort(pset.y), np.full(n, -8e5 + 10.0 * DAY), rtol=1e-5)
+
+
+def test_global_oob_still_raised_on_banded_grid():
+    """A particle leaving the global domain errors exactly as single-device."""
+    from parcels_tpu import FieldOutOfBoundError
+
+    fs = _uniform_flow_fieldset(0.0, 50.0)
+    pset = ParticleSet(fs, x=[0.0], y=[8e5], t=[0.0])
+    dom = YBandDomain(fs, n_bands=8, halo=2)
+    shard_particleset(pset, dom)
+    with pytest.raises(FieldOutOfBoundError):
+        pset.execute(
+            AdvectionEE, dt=np.timedelta64(600, "s"), runtime=np.timedelta64(DAY, "s")
+        )
+
+
+def test_band_assignment():
+    fs = _uniform_flow_fieldset(1.0, 0.0)
+    dom = YBandDomain(fs, n_bands=8, halo=2)
+    y = np.array([-9.9e5, -1e4, 1e4, 9.9e5])
+    bands = dom.band_of(y)
+    assert bands[0] == 0
+    assert bands[-1] == 7
+    assert np.all(np.diff(bands) >= 0)
+    # band edges cover the domain monotonically
+    assert np.all(np.diff(dom._interior_edges) > 0)
