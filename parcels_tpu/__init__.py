@@ -56,26 +56,31 @@ from parcels_tpu.interpolators import (
     XPartialslip,
 )
 from parcels_tpu.kernels import (
+    AdvectionAnalytical,
     AdvectionDiffusionEM,
     AdvectionDiffusionM1,
     AdvectionEE,
     AdvectionRK2,
     AdvectionRK2_3D,
+    AdvectionRK2_3D_CROCO,
     AdvectionRK4,
     AdvectionRK4_3D,
     AdvectionRK45,
     DiffusionUniformKh,
+    SampleOmegaCroco,
 )
 
 __version__ = "0.1.0"
 
 __all__ = [
     "EARTH_RADIUS",
+    "AdvectionAnalytical",
     "AdvectionDiffusionEM",
     "AdvectionDiffusionM1",
     "AdvectionEE",
     "AdvectionRK2",
     "AdvectionRK2_3D",
+    "AdvectionRK2_3D_CROCO",
     "AdvectionRK4",
     "AdvectionRK4_3D",
     "AdvectionRK45",
@@ -102,6 +107,7 @@ __all__ = [
     "ParticleFile",
     "ParticleSet",
     "ParticleSetWarning",
+    "SampleOmegaCroco",
     "SphericalMesh",
     "StatusCode",
     "TimeInterval",

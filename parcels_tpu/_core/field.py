@@ -23,15 +23,21 @@ __all__ = ["Field", "FieldView", "GridView", "VectorField", "VectorFieldView"]
 
 
 class Field:
-    """Host-side scalar field: name + 4-D (T,Z,Y,X) numpy data + grid + interpolator."""
+    """Host-side scalar field: name + dense numpy data + grid + interpolator.
+
+    Data layout is (T, Z, Y, X) on structured grids and (T, Z, N) on
+    unstructured grids (N = n_face or n_node).
+    """
 
     def __init__(self, name: str, data: np.ndarray, grid: XGrid, interp_method=None):
         if not name.isidentifier():
             raise ValueError(f"Field name must be a valid identifier, got {name!r}")
         self.name = name
         data = np.asarray(data)
-        if data.ndim != 4:
-            raise ValueError(f"Field data must be 4-D (T, Z, Y, X); got shape {data.shape}")
+        if data.ndim not in (3, 4):
+            raise ValueError(
+                f"Field data must be (T, Z, Y, X) or unstructured (T, Z, N); got shape {data.shape}"
+            )
         self.data = data
         self.grid = grid
         self.interp_method = interp_method
@@ -179,6 +185,11 @@ def _get_positions(field: FieldView, t, z, y, x, particles: Particles | None):
 
 def _update_particles_ei(particles: Particles, gpos, field: FieldView):
     spec = field.grid.spec
+    if "FACE" in gpos:
+        # unstructured: ei caches the face index (z re-bracketed per eval)
+        fi = jnp.clip(gpos["FACE"]["index"], 0, spec.n_face - 1)
+        particles._set_ei(field.igrid, fi)
+        return
     ydim = max(spec.ydim, 1)
     xdim = max(spec.xdim, 1)
     zi = jnp.clip(gpos["Z"]["index"], 0, max(spec.zdim - 1, 0))
@@ -197,7 +208,9 @@ def _escalate(particles: Particles, cond, code):
 
 def _update_state_position(particles: Particles, gpos, t_oob):
     """State escalation from search sentinels (reference field.py:327-357)."""
-    for dim in ("X", "Y"):
+    for dim in ("X", "Y", "FACE"):
+        if dim not in gpos:
+            continue
         idx = gpos[dim]["index"]
         _escalate(particles, idx == index_search.RIGHT_OUT_OF_BOUNDS, StatusCode.ErrorOutOfBounds)
         _escalate(particles, idx == index_search.GRID_SEARCH_ERROR, StatusCode.ErrorGridSearching)
@@ -216,7 +229,7 @@ def _update_state_interp_value(particles: Particles | None, value):
 def _mask_oob_values(gpos, value):
     """Out-of-bounds samples are returned as 0 (reference field.py:359-370)."""
     mask = jnp.zeros(jnp.shape(value), dtype=bool)
-    for dim in ("X", "Y", "Z"):
+    for dim in ("X", "Y", "Z", "FACE"):
         if dim in gpos:
             mask = mask | (gpos[dim]["index"] < 0)
     return jnp.where(mask, jnp.zeros((), dtype=value.dtype), value)

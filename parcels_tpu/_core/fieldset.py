@@ -260,6 +260,105 @@ class FieldSet:
             fs.add_field(VectorField(vname, *[scalar_fields[c] for c in components], interp_method=interp))
         return fs
 
+    @classmethod
+    def from_ugrid_conventions(
+        cls,
+        ds: xr.Dataset,
+        mesh: Literal["flat", "spherical"] | None = None,
+        vector_fields: dict[str, tuple[str, ...]] | None = None,
+        fill_value: float = 0.0,
+    ) -> "FieldSet":
+        """Build a FieldSet from a UGRID-convention triangular-mesh dataset.
+
+        Mirrors reference FieldSet.from_ugrid_conventions (fieldset.py:256 ->
+        model.py:360-382): requires dims {time, zf, zc}; node coordinates
+        ``node_lon``/``node_lat`` and ``face_node_connectivity`` (n_face, 3);
+        renames common U/V/W variable names; selects the interpolator from
+        each variable's (vertical, lateral) dim placement (model.py:467-501).
+        """
+        from parcels_tpu._core.uxgrid import UxGrid
+        from parcels_tpu.interpolators.uxinterp import (
+            Ux_Velocity,
+            UxConstantFaceConstantZC,
+            UxConstantFaceLinearZF,
+            UxLinearNodeConstantZC,
+            UxLinearNodeLinearZF,
+        )
+
+        ds_dims = set(str(d) for d in ds.dims)
+        for need in ("time", "zf", "zc"):
+            if need not in ds_dims:
+                raise ValueError(
+                    f"Dataset missing one of the required dimensions 'time', 'zf', or 'zc' "
+                    f"for a UGRID dataset. Found dimensions {sorted(ds_dims)}"
+                )
+        for need in ("node_lon", "node_lat", "face_node_connectivity"):
+            if need not in ds:
+                raise ValueError(f"UGRID dataset needs a {need!r} variable.")
+
+        # common U/V/W renames (reference model.py:425-464)
+        for u_name, v_name in (("unod", "vnod"), ("u", "v")):
+            if u_name in ds.data_vars and "U" not in ds.data_vars:
+                ds = ds.rename({u_name: "U", v_name: "V"})
+        if "w" in ds.data_vars and "W" not in ds.data_vars:
+            ds = ds.rename({"w": "W"})
+
+        node_lon = np.asarray(ds["node_lon"].values)
+        if mesh is None:
+            units = str(ds["node_lon"].attrs.get("units", ""))
+            if not units:
+                raise ValueError("node_lon has no 'units' attribute; pass mesh= explicitly.")
+            mesh = "spherical" if "degree" in units.lower() else "flat"
+
+        grid = UxGrid(
+            node_lon,
+            np.asarray(ds["node_lat"].values),
+            np.asarray(ds["face_node_connectivity"].values),
+            np.asarray(ds["zf"].values, dtype=np.float64),
+            mesh=mesh,
+            time=np.asarray(ds["time"].values) if "time" in ds else None,
+        )
+
+        interp_by_dims = {
+            ("zc", "n_face"): UxConstantFaceConstantZC,
+            ("zf", "n_face"): UxConstantFaceLinearZF,
+            ("zc", "n_node"): UxLinearNodeConstantZC,
+            ("zf", "n_node"): UxLinearNodeLinearZF,
+        }
+
+        fs = cls()
+        scalar_fields: dict[str, Field] = {}
+        skip = {"node_lon", "node_lat", "face_node_connectivity", "zf", "zc", "time"}
+        for varname in ds.data_vars:
+            if varname in skip or ds[varname].attrs.get("cf_role") == "grid_topology":
+                continue
+            da = ds[varname]
+            dims = tuple(str(d) for d in da.dims)
+            vdim = next((d for d in dims if d in ("zc", "zf")), None)
+            ldim = next((d for d in dims if d in ("n_face", "n_node")), None)
+            if vdim is None or ldim is None:
+                continue
+            order = [d for d in ("time", vdim, ldim) if d in dims]
+            arr = np.asarray(da.values).transpose([dims.index(d) for d in order])
+            if "time" not in dims:
+                arr = arr[None]
+            arr = np.nan_to_num(arr, nan=fill_value)
+            interp_cls = interp_by_dims[(vdim, ldim)]
+            f = Field(str(varname), arr, grid, interp_method=interp_cls())
+            scalar_fields[str(varname)] = f
+            fs.add_field(f)
+
+        if vector_fields is None:
+            vector_fields = _default_vector_field_components(scalar_fields)
+        for vname, components in vector_fields.items():
+            for c in components:
+                if c not in scalar_fields:
+                    raise ValueError(f"Vector field {vname!r} component {c!r} not in dataset.")
+            fs.add_field(
+                VectorField(vname, *[scalar_fields[c] for c in components], interp_method=Ux_Velocity())
+            )
+        return fs
+
     # -- device pytree / engine spec ----------------------------------------
     def _invalidate_caches(self):
         object.__setattr__(self, "_device_cache", None)
@@ -285,7 +384,7 @@ class FieldSet:
         """Rebuild traced field views inside a jitted function."""
         grid_views = []
         for i, grid in enumerate(self._gridset):
-            grid_views.append(GridView(grid.spec, farrays["grids"][i], grid.lookup_meta()))
+            grid_views.append(grid.make_view(farrays["grids"][i]))
         views: dict[str, object] = {}
         for name, f in self._fields.items():
             if isinstance(f, Field):

@@ -195,6 +195,12 @@ class XGrid:
             return None
         return {"origin": self._lookup["origin"], "step": self._lookup["step"]}
 
+    def make_view(self, garrs: dict):
+        """Traced grid view for the jitted engine (UxGrid has its own)."""
+        from parcels_tpu._core.field import GridView
+
+        return GridView(self.spec, garrs, self.lookup_meta())
+
     # -- raveling of per-axis indices into the cached element index ---------
     def ravel_index(self, zi, yi, xi):
         ydim = max(self.spec.ydim, 1)

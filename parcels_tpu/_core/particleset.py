@@ -161,20 +161,18 @@ class ParticleSet:
         )
 
     def populate_indices(self):
-        """Pre-populate the cached element indices (warm start for curvilinear search)."""
-        from parcels_tpu._core.grid import grid_search
-
+        """Pre-populate the cached element indices (warm start for cell search)."""
         for i, grid in enumerate(self.fieldset.gridset):
             garrs = grid.device_arrays()
-            gpos = grid_search(
-                grid.spec,
-                garrs,
+            gpos = grid.make_view(garrs).search(
                 jnp.asarray(self._data["z"]),
                 jnp.asarray(self._data["y"]),
                 jnp.asarray(self._data["x"]),
-                None,
-                grid.lookup_meta(),
             )
+            if "FACE" in gpos:
+                nf = grid.spec.n_face
+                self._data["ei"][:, i] = np.clip(np.asarray(gpos["FACE"]["index"]), 0, nf - 1)
+                continue
             zi = np.clip(np.asarray(gpos["Z"]["index"]), 0, max(grid.zdim - 1, 0))
             yi = np.clip(np.asarray(gpos["Y"]["index"]), 0, max(grid.ydim - 1, 0))
             xi = np.clip(np.asarray(gpos["X"]["index"]), 0, max(grid.xdim - 1, 0))

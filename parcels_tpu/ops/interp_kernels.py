@@ -137,13 +137,46 @@ def _pallas_sample(f2, post, posz, posy, posx, Z, Y):
     return out.reshape(-1)[:n]
 
 
+#: below this folded size, the hat-weight contraction runs as one plain-XLA
+#: matmul over the whole particle batch — per-program Pallas overhead would
+#: dominate (measured: 2048 programs x ~5us beats the arithmetic by 100x)
+SMALL_FOLD_ELEMS = 64 * 512
+
+
+def _xla_small_sample(f2, post, posz, posy, posx, Z, Y):
+    """Hat-weight contraction in plain XLA: one (N, R) @ (R, X) matmul.
+
+    For VMEM-trivial fields the whole batch is a single MXU-friendly dot —
+    XLA tiles it far better than a per-program Pallas launch.
+    """
+    R, X = f2.shape
+    r = jnp.arange(R, dtype=jnp.float32)
+    zy = float(Z * Y)
+    t_of_r = jnp.floor(r / zy)
+    rem = r - t_of_r * zy
+    z_of_r = jnp.floor(rem / float(Y))
+    y_of_r = rem - z_of_r * float(Y)
+
+    w = (
+        _hat(t_of_r[None, :] - post[:, None])
+        * _hat(z_of_r[None, :] - posz[:, None])
+        * _hat(y_of_r[None, :] - posy[:, None])
+    )
+    g = jnp.dot(w, f2, preferred_element_type=jnp.float32)  # (N, X)
+    c = jnp.arange(X, dtype=jnp.float32)
+    wx = _hat(c[None, :] - posx[:, None])
+    return jnp.sum(g * wx, axis=1)
+
+
 def linear_sample_windowed(data, gpos, fallback):
-    """Multilinear field sample via the windowed Pallas path.
+    """Multilinear field sample via the windowed hat-weight contraction.
 
     ``data`` is the full (T, Z, Y, X) device array; ``gpos`` the search
     result; ``fallback`` a thunk computing the same values via the XLA
     gather path (used when the particle batch spans more time levels than
     the window — rare, but required for exactness with delayed releases).
+    Small folds run as one whole-batch XLA matmul; larger VMEM-resident
+    folds run the Pallas kernel.
     """
     T, Z, Y, X = data.shape
     W, R, Rp, Xp = _pads(data.shape)
@@ -153,8 +186,14 @@ def linear_sample_windowed(data, gpos, fallback):
 
     def windowed(_):
         win = jax.lax.dynamic_slice(data, (ti0, 0, 0, 0), (W, Z, Y, X))
-        f2 = jnp.pad(win.reshape(R, X).astype(jnp.float32), ((0, Rp - R), (0, Xp - X)))
         post_w = post - ti0.astype(jnp.float32) if T > 1 else post
+        if R * X <= SMALL_FOLD_ELEMS:
+            f2 = win.reshape(R, X).astype(jnp.float32)
+            return _xla_small_sample(
+                f2, jnp.asarray(post_w, jnp.float32), jnp.asarray(posz, jnp.float32),
+                jnp.asarray(posy, jnp.float32), jnp.asarray(posx, jnp.float32), Z, Y,
+            )
+        f2 = jnp.pad(win.reshape(R, X).astype(jnp.float32), ((0, Rp - R), (0, Xp - X)))
         return _pallas_sample(f2, post_w, posz, posy, posx, Z, Y)
 
     if T <= W:

@@ -100,7 +100,8 @@ class YBandDomain:
         banded_any = False
         for grid in fieldset.gridset:
             spec = grid.spec
-            if "Y" in spec.axes and not spec.curvilinear and spec.ydim >= n:
+            axes = getattr(spec, "axes", ())  # UxGridSpec has none: replicated
+            if "Y" in axes and not spec.curvilinear and spec.ydim >= n:
                 la = np.asarray(grid.lat, dtype=np.float64)
                 ydim = spec.ydim  # cells; nodes = ydim + 1
                 Yb = math.ceil(ydim / n)
@@ -144,7 +145,7 @@ class YBandDomain:
                 )
                 banded_any = True
             else:
-                if "Y" in spec.axes and spec.curvilinear:
+                if "Y" in axes and spec.curvilinear:
                     raise NotImplementedError(
                         "Domain decomposition of curvilinear grids is not yet supported."
                     )
@@ -221,7 +222,10 @@ class YBandDomain:
 
         grid_views = []
         for i, plan in enumerate(self._grid_plans):
-            grid_views.append(GridView(plan["spec"], farrays_local["grids"][i], None))
+            if plan["banded"]:
+                grid_views.append(GridView(plan["spec"], farrays_local["grids"][i], None))
+            else:
+                grid_views.append(plan["grid"].make_view(farrays_local["grids"][i]))
         views: dict[str, object] = {}
         for name, f in self.fieldset.fields.items():
             if isinstance(f, Field):

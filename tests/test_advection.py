@@ -257,3 +257,42 @@ def test_out_of_bounds_recovery_delete():
     pset.execute([AdvectionEE, DeleteOOB], dt=np.timedelta64(10, "m"), runtime=np.timedelta64(2, "h"))
     assert len(pset) == 1  # the OOB particle was deleted, the other survived
     assert np.allclose(pset.x, 7200.0 * 10.0, rtol=1e-5)
+
+
+def test_analytical_advection_stommel_c_grid():
+    """Analytical (Ariane/TRACMASS) advection follows streamlines exactly on
+    steady C-grid flows: streamfunction is conserved along the trajectory."""
+    from parcels_tpu import Particle
+    from parcels_tpu.kernels import AdvectionAnalytical
+
+    ds = stommel_gyre_dataset(grid_type="C")
+    fs = FieldSet.from_sgrid_conventions(ds, mesh="flat")
+    pclass = Particle.add_variable(Variable("p", dtype=np.float32))
+    x0 = [3e6, 4e6, 5e6]
+    y0 = [3e6, 5e6, 7e6]
+    pset = ParticleSet(fs, pclass=pclass, x=x0, y=y0)
+    pset.execute(
+        [AdvectionAnalytical, SampleP],
+        dt=np.timedelta64(6, "h"),
+        runtime=np.timedelta64(2, "D"),
+    )
+    p_start = _sample_p(fs, x0, y0)
+    assert np.allclose(pset.p, p_start, rtol=2e-2)
+    # particles must actually have moved
+    assert not np.allclose(pset.x, x0, atol=1.0)
+
+
+def test_analytical_advection_uniform_flow_c_grid():
+    """Analytical advection reproduces uniform translation on a C-grid."""
+    from parcels_tpu.kernels import AdvectionAnalytical
+
+    ds = peninsula_dataset(grid_type="C")
+    fs = FieldSet.from_sgrid_conventions(ds, mesh="flat")
+    # seed well upstream of the peninsula: flow there is ~uniform u0
+    x0 = np.full(3, 3e3)
+    y0 = np.array([10e3, 25e3, 40e3])
+    pset = ParticleSet(fs, x=x0, y=y0)
+    pset.execute(
+        AdvectionAnalytical, dt=np.timedelta64(30, "m"), runtime=np.timedelta64(3, "h")
+    )
+    assert np.all(pset.x > x0 + 1e3), pset.x
