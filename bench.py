@@ -65,9 +65,11 @@ def bench_tpu(npart: int, steps: int, dt: float = 60.0) -> float:
     farrays = fs.device_arrays()
     pdata = {k: jnp.asarray(v) for k, v in pset._data.items()}
 
-    # warmup/compile: a short chunk
+    # warmup/compile: a short chunk. Sync via a host read — on the remote
+    # tunnel backend block_until_ready can return before execution finishes,
+    # which would leak compile+run time into the timed region below.
     out = executor(farrays, pdata, jnp.float32(dt), jnp.float32(dt))
-    jax.block_until_ready(out)
+    np.asarray(out["t"][:1])
 
     endtime = jnp.float32(dt * steps)
     t0 = time.perf_counter()

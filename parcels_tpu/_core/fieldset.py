@@ -132,6 +132,8 @@ class FieldSet:
         object.__setattr__(self, "_gridset", [])
         object.__setattr__(self, "_device_cache", None)
         object.__setattr__(self, "_executor_cache", {})
+        object.__setattr__(self, "_window_cache", {})
+        object.__setattr__(self, "_time_window", None)
         for f in fields or []:
             self.add_field(f)
 
@@ -363,6 +365,114 @@ class FieldSet:
     def _invalidate_caches(self):
         object.__setattr__(self, "_device_cache", None)
         object.__setattr__(self, "_executor_cache", {})
+        object.__setattr__(self, "_window_cache", {})
+
+    # -- rolling time-window streaming (reference _windowed_array.py) --------
+    def set_time_window(self, nlevels: int):
+        """Stream fields to the device in a rolling window of ``nlevels`` time
+        levels instead of resident-in-full.
+
+        TPU equivalent of the reference's WindowedArray time cache
+        (reference _core/_windowed_array.py:25-113): each output-interval
+        chunk ships only the window of levels it needs; consecutive chunks
+        at the same window reuse the on-device arrays, and because the
+        window length is fixed the jitted executor never recompiles.
+        Window advance overlaps the previous chunk's compute (the executor
+        dispatch is async, so the next device_put runs while the TPU works).
+        """
+        if nlevels < 2:
+            raise ValueError("Time window must hold at least 2 levels.")
+        object.__setattr__(self, "_time_window", int(nlevels))
+        import dataclasses
+
+        for grid in self._gridset:
+            if grid.time.shape[0] > 1:
+                # windowed time values break the static uniform-origin fast
+                # path; the windowed searchsorted over <=nlevels is cheap
+                grid.spec = dataclasses.replace(grid.spec, time_uniform=None)
+        self._invalidate_caches()
+        object.__setattr__(self, "window_stats", {"loads": 0, "bytes_read": 0})
+
+    def max_window_endtime(self, t: float, sign_dt: int) -> float:
+        """Furthest chunk end time a window anchored at ``t`` can cover.
+
+        The execute loop clamps each chunk to this, so windowed runs
+        sub-chunk automatically instead of requiring outputdt to fit.
+        """
+        L = getattr(self, "_time_window", None)
+        if L is None:
+            return np.inf * sign_dt
+        best = np.inf * sign_dt
+        for grid in self._gridset:
+            nt = grid.time.shape[0]
+            if nt <= 1:
+                continue
+            if sign_dt >= 0:
+                i0 = int(np.clip(np.searchsorted(grid.time, t, side="right") - 1, 0, max(nt - L, 0)))
+                end = grid.time[min(i0 + L - 1, nt - 1)]
+                if i0 + L >= nt:
+                    end = np.inf
+                best = min(best, end)
+            else:
+                i1 = int(np.clip(np.searchsorted(grid.time, t, side="left"), L - 1, nt - 1))
+                start = grid.time[max(i1 - (L - 1), 0)]
+                if i1 - (L - 1) <= 0:
+                    start = -np.inf
+                best = max(best, start)
+        return best
+
+    def windowed_arrays(self, t_lo: float, t_hi: float) -> dict:
+        """Device pytree whose time axes cover [t_lo, t_hi] (window mode)."""
+        L = getattr(self, "_time_window", None)
+        if L is None:
+            return self.device_arrays()
+        t_lo, t_hi = (t_lo, t_hi) if t_lo <= t_hi else (t_hi, t_lo)
+
+        offsets = []
+        for grid in self._gridset:
+            nt = grid.time.shape[0]
+            if nt <= 1:
+                offsets.append(0)
+                continue
+            i0 = int(np.clip(np.searchsorted(grid.time, t_lo, side="right") - 1, 0, max(nt - L, 0)))
+            if grid.time[min(i0 + L - 1, nt - 1)] < t_hi and i0 + L < nt:
+                raise ValueError(
+                    f"Time window of {L} levels cannot cover [{t_lo}, {t_hi}] s "
+                    f"(levels span {grid.time[i0]}..{grid.time[min(i0 + L - 1, nt - 1)]}). "
+                    "Increase the window or reduce outputdt."
+                )
+            offsets.append(i0)
+        key = tuple(offsets)
+        cache = getattr(self, "_window_cache", {})
+        if key in cache:
+            return cache[key]
+
+        stats = getattr(self, "window_stats", {"loads": 0, "bytes_read": 0})
+        farrays = {"fields": {}, "grids": []}
+        for i0, grid in zip(offsets, self._gridset):
+            garrs = grid.device_arrays()
+            if grid.time.shape[0] > 1:
+                garrs = dict(garrs)
+                garrs["time"] = jnp.asarray(grid.time[i0 : i0 + L].astype(np.float32))
+            farrays["grids"].append(garrs)
+        for name, f in self._fields.items():
+            if isinstance(f, Field):
+                data = f.data
+                if data.shape[0] > 1:
+                    i0 = offsets[f.igrid]
+                    window = np.ascontiguousarray(data[i0 : i0 + L])
+                    stats["loads"] += 1
+                    stats["bytes_read"] += window.nbytes
+                    arr = jnp.asarray(window.astype(np.float32) if window.dtype.kind == "f" else window)
+                else:
+                    arr = jnp.asarray(data.astype(np.float32) if data.dtype.kind == "f" else data)
+                farrays["fields"][name] = arr
+        object.__setattr__(self, "window_stats", stats)
+        # keep only the current window resident (plus the one being built)
+        cache.clear()
+        cache[key] = farrays
+        object.__setattr__(self, "_window_cache", cache)
+        return farrays
 
     def device_arrays(self, dtype=np.float32, sharding=None) -> dict:
         """Ship all field data + grid coords to device; cached after first call."""

@@ -178,6 +178,27 @@ class ParticleSet:
             xi = np.clip(np.asarray(gpos["X"]["index"]), 0, max(grid.xdim - 1, 0))
             self._data["ei"][:, i] = grid.ravel_index(zi, yi, xi)
 
+    def checkpoint(self, path: str):
+        """Write the full particle state (all variables incl. non-written
+        ones, validity mask and RNG key) to an .npz checkpoint.
+
+        Capability the reference stubs as NotImplementedError
+        (reference particleset.py:263-291) — restart-from-output plus a
+        full-SoA checkpoint (SURVEY.md §5 checkpoint/resume).
+        """
+        np.savez_compressed(path, **{k: np.asarray(v) for k, v in self._data.items()})
+
+    @classmethod
+    def from_checkpoint(cls, fieldset, path: str, pclass=Particle):
+        """Restore a ParticleSet exactly as checkpointed (ids, states, RNG)."""
+        with np.load(path) as npz:
+            data = {k: npz[k] for k in npz.files}
+        pset = cls.__new__(cls)
+        pset.fieldset = fieldset
+        pset._pclass = pclass
+        pset._data = data
+        return pset
+
     @classmethod
     def from_particlefile(cls, fieldset, pclass, filename, restart=True, restarttime=None, **kwargs):
         """Restart a ParticleSet from a written trajectory file.
@@ -275,7 +296,10 @@ class ParticleSet:
             from parcels_tpu._core.engine import DEFAULT_BLOCK_SIZE
 
             self._pad_capacity(DEFAULT_BLOCK_SIZE)
-            farrays = self.fieldset.device_arrays()
+            if self.fieldset._time_window is not None:
+                farrays = None  # shipped per-chunk by windowed_arrays below
+            else:
+                farrays = self.fieldset.device_arrays()
             dev = {k: jnp.asarray(v) for k, v in self._data.items()}
 
         if output_file is not None:
@@ -299,7 +323,12 @@ class ParticleSet:
                     next_time = f(next_output, end_time)
                 else:
                     next_time = end_time
+                if self.fieldset._time_window is not None:
+                    f = min if sign_dt > 0 else max
+                    next_time = f(next_time, self.fieldset.max_window_endtime(time, sign_dt))
 
+                if self.fieldset._time_window is not None and domain is None and pmesh is None:
+                    farrays = self.fieldset.windowed_arrays(time, next_time)
                 dev = executor(farrays, dev, np.float32(next_time), np.float32(dt))
 
                 states = np.asarray(dev["state"])

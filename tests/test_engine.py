@@ -1,0 +1,199 @@
+"""Execution-engine behavioral tests.
+
+Mirrors the reference's engine tier (reference tests/test_particleset_execute.py,
+tests/test_kernel.py): argument validation, release-time independence,
+state-machine recovery flows, RK45 Repeat machinery, back-to-back executes,
+backward-in-time integration, checkpoint round-trip.
+"""
+
+import numpy as np
+import pytest
+
+from parcels_tpu import (
+    FieldSet,
+    ParticleSet,
+    StatusCode,
+    Variable,
+)
+from parcels_tpu.datasets import moving_eddy_dataset, simple_UV_dataset
+from parcels_tpu.kernels import AdvectionEE, AdvectionRK4, AdvectionRK45
+from tests.conftest import uniform_flow_fieldset
+
+
+def _eddy_fs():
+    return FieldSet.from_sgrid_conventions(moving_eddy_dataset(), mesh="flat")
+
+
+def test_dt_zero_raises():
+    pset = ParticleSet(_eddy_fs(), x=[12000.0], y=[12000.0])
+    with pytest.raises(ValueError, match="dt"):
+        pset.execute(AdvectionEE, dt=np.timedelta64(0, "s"), runtime=np.timedelta64(1, "h"))
+
+
+def test_runtime_and_endtime_mutually_exclusive():
+    fs = _eddy_fs()
+    pset = ParticleSet(fs, x=[12000.0], y=[12000.0])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        pset.execute(
+            AdvectionEE,
+            dt=np.timedelta64(5, "m"),
+            runtime=np.timedelta64(1, "h"),
+            endtime=np.datetime64("2000-01-01T06:00"),
+        )
+
+
+def test_kernels_must_be_callable():
+    pset = ParticleSet(_eddy_fs(), x=[12000.0], y=[12000.0])
+    with pytest.raises((TypeError, ValueError)):
+        pset.execute(["not-a-kernel"], dt=np.timedelta64(5, "m"), runtime=np.timedelta64(1, "h"))
+    with pytest.raises(ValueError):
+        pset.execute([], dt=np.timedelta64(5, "m"), runtime=np.timedelta64(1, "h"))
+
+
+def test_rk45_requires_next_dt_variable():
+    pset = ParticleSet(_eddy_fs(), x=[12000.0], y=[12000.0])
+    with pytest.raises(ValueError, match="next_dt"):
+        pset.execute(AdvectionRK45, dt=np.timedelta64(5, "m"), runtime=np.timedelta64(1, "h"))
+
+
+def test_release_time_independence():
+    """A particle's trajectory must not depend on batch-mates' release times
+    (reference tests/test_particleset_execute.py:67-95)."""
+    fs1 = _eddy_fs()
+    solo = ParticleSet(fs1, x=[12000.0], y=[12500.0], t=[0.0])
+    solo.execute(AdvectionRK4, dt=np.timedelta64(5, "m"), runtime=np.timedelta64(2, "h"))
+
+    fs2 = _eddy_fs()
+    batch = ParticleSet(
+        fs2, x=[12000.0, 13000.0], y=[12500.0, 14000.0], t=[0.0, 3600.0]
+    )
+    batch.execute(AdvectionRK4, dt=np.timedelta64(5, "m"), runtime=np.timedelta64(2, "h"))
+    np.testing.assert_allclose(batch.x[0], solo.x[0], rtol=1e-6)
+    np.testing.assert_allclose(batch.y[0], solo.y[0], rtol=1e-6)
+
+
+def test_back_to_back_executes_continue():
+    fs1 = _eddy_fs()
+    once = ParticleSet(fs1, x=[12000.0], y=[12500.0], t=[0.0])
+    once.execute(AdvectionRK4, dt=np.timedelta64(5, "m"), runtime=np.timedelta64(2, "h"))
+
+    fs2 = _eddy_fs()
+    twice = ParticleSet(fs2, x=[12000.0], y=[12500.0], t=[0.0])
+    twice.execute(AdvectionRK4, dt=np.timedelta64(5, "m"), runtime=np.timedelta64(1, "h"))
+    twice.execute(AdvectionRK4, dt=np.timedelta64(5, "m"), runtime=np.timedelta64(1, "h"))
+    assert twice.t[0] == 7200.0
+    np.testing.assert_allclose(twice.x, once.x, rtol=1e-6)
+
+
+def test_backward_in_time_recovers_start():
+    fs = uniform_flow_fieldset(u=1.0, v=0.5)
+    x0, y0 = 1e5, 1e5
+    pset = ParticleSet(fs, x=[x0], y=[y0], t=[np.timedelta64(2, "h")])
+    pset.execute(AdvectionRK4, dt=np.timedelta64(-5, "m"), runtime=np.timedelta64(2, "h"))
+    assert pset.t[0] == 0.0
+    np.testing.assert_allclose(pset.x, x0 - 7200.0, rtol=1e-5)
+    np.testing.assert_allclose(pset.y, y0 - 3600.0, rtol=1e-5)
+
+
+def test_stop_all_execution():
+    fs = uniform_flow_fieldset(u=1.0, v=0.0)
+
+    def StopAfterAnHour(particles, fieldset):  # noqa: N802
+        import jax.numpy as jnp
+
+        particles.state = jnp.where(
+            particles.t >= 3600.0, StatusCode.StopAllExecution, particles.state
+        ).astype(particles.state.dtype)
+
+    pset = ParticleSet(fs, x=[1e5], y=[1e5], t=[0.0])
+    pset.execute(
+        [AdvectionEE, StopAfterAnHour],
+        dt=np.timedelta64(30, "m"),
+        runtime=np.timedelta64(6, "h"),
+    )
+    # stopped well before the 6h endtime
+    assert pset.t[0] <= 2 * 3600.0
+
+
+def test_delete_recovery_kernel():
+    """OOB particles deleted by a recovery kernel instead of raising
+    (reference tests/test_advection.py:148-190)."""
+    fs = uniform_flow_fieldset(u=50.0, v=0.0)
+
+    def DeleteOnOOB(particles, fieldset):  # noqa: N802
+        import jax.numpy as jnp
+
+        particles.state = jnp.where(
+            particles.state == StatusCode.ErrorOutOfBounds,
+            StatusCode.Delete,
+            particles.state,
+        ).astype(particles.state.dtype)
+
+    pset = ParticleSet(fs, x=[9.9e5, 0.0], y=[0.0, 0.0], t=[0.0, 0.0])
+    pset.execute(
+        [AdvectionEE, DeleteOnOOB],
+        dt=np.timedelta64(30, "m"),
+        runtime=np.timedelta64(2, "h"),  # 50 m/s x 2h = 360 km: only the east-edge particle exits
+    )
+    assert len(pset) == 1  # the east-edge particle got deleted, run continued
+    assert pset.particle_id[0] == 1
+
+
+def test_rk45_adaptive_runs_and_respects_bounds():
+    from parcels_tpu import Particle
+
+    fs = _eddy_fs()
+    fs.add_context("RK45_tol", 100.0)
+    fs.add_context("RK45_min_dt", 10.0)
+    fs.add_context("RK45_max_dt", 3600.0)
+    pclass = Particle.add_variable(Variable("next_dt", dtype=np.float64, initial=300.0))
+    pset = ParticleSet(fs, pclass=pclass, x=[12000.0], y=[12500.0], t=[0.0])
+    pset.execute(AdvectionRK45, dt=np.timedelta64(5, "m"), runtime=np.timedelta64(2, "h"))
+    assert pset.t[0] == 7200.0
+    assert 10.0 <= abs(pset.next_dt[0]) <= 3600.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    fs1 = _eddy_fs()
+    pset = ParticleSet(fs1, x=[12000.0, 15000.0], y=[12500.0, 9000.0], t=[0.0, 0.0])
+    pset.execute(AdvectionRK4, dt=np.timedelta64(5, "m"), runtime=np.timedelta64(1, "h"))
+    path = str(tmp_path / "ckpt.npz")
+    pset.checkpoint(path)
+
+    fs2 = _eddy_fs()
+    restored = ParticleSet.from_checkpoint(fs2, path)
+    np.testing.assert_array_equal(restored.x, pset.x)
+    np.testing.assert_array_equal(restored.particle_id, pset.particle_id)
+    restored.execute(AdvectionRK4, dt=np.timedelta64(5, "m"), runtime=np.timedelta64(1, "h"))
+
+    fs3 = _eddy_fs()
+    straight = ParticleSet(fs3, x=[12000.0, 15000.0], y=[12500.0, 9000.0], t=[0.0, 0.0])
+    straight.execute(AdvectionRK4, dt=np.timedelta64(5, "m"), runtime=np.timedelta64(2, "h"))
+    np.testing.assert_allclose(restored.x, straight.x, rtol=1e-6)
+
+
+def test_restart_from_particlefile(tmp_path):
+    from parcels_tpu import Particle, ParticleFile
+
+    fs1 = _eddy_fs()
+    pset = ParticleSet(fs1, x=[12000.0, 15000.0], y=[12500.0, 9000.0], t=[0.0, 0.0])
+    path = str(tmp_path / "traj.parquet")
+    pf = ParticleFile(path, outputdt=np.timedelta64(30, "m"), mode="w")
+    pset.execute(
+        AdvectionRK4, dt=np.timedelta64(5, "m"), runtime=np.timedelta64(1, "h"), output_file=pf
+    )
+    pf.close()
+
+    fs2 = _eddy_fs()
+    restarted = ParticleSet.from_particlefile(fs2, Particle, path, restart=True)
+    np.testing.assert_array_equal(np.sort(restarted.particle_id), [0, 1])
+    np.testing.assert_allclose(np.sort(restarted.x), np.sort(pset.x), rtol=1e-6)
+
+
+def test_remove_indices_and_len():
+    fs = _eddy_fs()
+    pset = ParticleSet(fs, x=[12000.0, 13000.0, 14000.0], y=[12000.0] * 3)
+    assert len(pset) == 3
+    pset.remove_indices([1])
+    assert len(pset) == 2
+    np.testing.assert_array_equal(pset.particle_id, [0, 2])
