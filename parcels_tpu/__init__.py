@@ -36,6 +36,7 @@ from parcels_tpu._core.statuscodes import (
     OutsideTimeInterval,
     StatusCode,
 )
+from parcels_tpu import convert, tutorial
 from parcels_tpu._core.timeutils import TimeInterval
 from parcels_tpu._core.warnings_ import (
     FieldEvalWarning,
@@ -113,6 +114,8 @@ __all__ = [
     "TimeInterval",
     "Variable",
     "VectorField",
+    "convert",
+    "tutorial",
     "XConstantField",
     "XFreeslip",
     "XGrid",

@@ -221,6 +221,14 @@ class XGrid:
     def __hash__(self):
         return id(self)
 
+    def __repr__(self):
+        kind = "curvilinear" if self.spec.curvilinear else "rectilinear"
+        mesh = "spherical" if self.spec.spherical else "flat"
+        return (
+            f"XGrid({kind}, {mesh}, cells z={self.spec.zdim} y={self.spec.ydim} "
+            f"x={self.spec.xdim}, tdim={self.time.shape[0]})"
+        )
+
 
 def _validate_lat_lon(lon: np.ndarray, lat: np.ndarray):
     if lon.ndim != lat.ndim:

@@ -107,6 +107,29 @@ class ParticleSet:
         return t
 
     # -- container protocol --------------------------------------------------
+    def __repr__(self):
+        n = len(self)
+        states = np.asarray(self._data["state"])[np.asarray(self._data["_active"])]
+        uniq = dict(zip(*np.unique(states, return_counts=True))) if n else {}
+        return (
+            f"ParticleSet(n={n}, pclass={getattr(self._pclass, '__name__', self._pclass)!r}, "
+            f"states={ {int(k): int(v) for k, v in uniq.items()} })"
+        )
+
+    def describe(self, buf=None) -> None:
+        import sys
+
+        buf = buf or sys.stdout
+        lines = [repr(self)]
+        for k in ("x", "y", "z", "t"):
+            v = self.__getattr__(k)
+            if v.size:
+                lines.append(f"  {k}: min={v.min():.6g} max={v.max():.6g}")
+        stats = getattr(self, "last_run_stats", None)
+        if stats:
+            lines.append(f"  last run: {stats}")
+        buf.write("\n".join(lines) + "\n")
+
     def __len__(self):
         return int(self._data["_active"].sum())
 
@@ -315,6 +338,10 @@ class ParticleSet:
 
             pbar = tqdm(total=sign_dt * (end_time - start_time))
 
+        import time as _time
+
+        wall0 = _time.perf_counter()
+        nchunks = 0
         time = start_time
         try:
             while sign_dt * (time - end_time) < 0:
@@ -349,6 +376,7 @@ class ParticleSet:
                 if pbar is not None:
                     pbar.update(sign_dt * (next_time - time))
                 time = next_time
+                nchunks += 1
 
                 if np.any(active & (states == StatusCode.StopAllExecution)):
                     break
@@ -360,6 +388,15 @@ class ParticleSet:
             self._data = {k: np.asarray(v) for k, v in dev.items() if k != "_migof"}
             if "_rng" in self._data and self._data["_rng"].ndim == 2:
                 self._data["_rng"] = self._data["_rng"][0]
+            # per-run observability (SURVEY.md §5 tracing/profiling parity)
+            wall = _time.perf_counter() - wall0
+            nsteps = abs(time - start_time) / abs(dt) if dt else 0.0
+            self.last_run_stats = {
+                "wall_s": round(wall, 4),
+                "chunks": nchunks,
+                "particles": len(self),
+                "particle_steps_per_s": round(len(self) * nsteps / wall, 1) if wall > 0 else 0.0,
+            }
             if output_file is not None:
                 output_file.flush()
 

@@ -175,6 +175,24 @@ class UxGrid:
     def __hash__(self):
         return id(self)
 
+    def __repr__(self):
+        mesh = "spherical" if self.spec.spherical else "flat"
+        return (
+            f"UxGrid({mesh}, n_face={self.spec.n_face}, n_node={self.spec.n_node}, "
+            f"nz={self.spec.nz}, lookup={self.spec.lookup_shape})"
+        )
+
+    def describe(self, buf=None) -> None:
+        import sys
+
+        buf = buf or sys.stdout
+        fi = self._lookup["fi"]
+        buf.write(
+            f"{self!r}\n  lookup raster: {fi.shape[0]}x{fi.shape[1]} cells, "
+            f"{(fi >= 0).mean() * 100:.1f}% seeded\n"
+            f"  boundary edges: {(self._adjacency < 0).sum()}\n"
+        )
+
 
 def _build_face_lookup(node_lon, node_lat, conn, cells_per_tri: float = 2.0, max_dim: int = 1024):
     """Coarse raster (lat, lon) -> covering/nearest face index, built on host.

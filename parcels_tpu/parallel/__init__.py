@@ -14,6 +14,6 @@ Bind either to a ParticleSet with :func:`shard_particleset`; subsequent
 """
 
 from parcels_tpu.parallel.domain import YBandDomain, build_domain_executor
-from parcels_tpu.parallel.sharding import ParticleMesh, shard_particleset
+from parcels_tpu.parallel.sharding import ParticleMesh, init_distributed, shard_particleset
 
-__all__ = ["ParticleMesh", "YBandDomain", "build_domain_executor", "shard_particleset"]
+__all__ = ["ParticleMesh", "YBandDomain", "build_domain_executor", "init_distributed", "shard_particleset"]

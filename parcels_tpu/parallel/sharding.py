@@ -27,7 +27,23 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["ParticleMesh", "shard_particleset"]
+__all__ = ["ParticleMesh", "init_distributed", "shard_particleset"]
+
+
+def init_distributed(**kwargs) -> int:
+    """Initialize the multi-host JAX runtime (call before building meshes).
+
+    Thin wrapper over ``jax.distributed.initialize`` (coordinator address,
+    process id/count from env or kwargs). Returns the process index. On a
+    single host this is a no-op returning 0, so scripts are portable between
+    1 host and N hosts.
+    """
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError):
+        # single-process / already-initialized runs
+        pass
+    return jax.process_index()
 
 
 class ParticleMesh:
