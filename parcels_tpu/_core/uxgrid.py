@@ -223,28 +223,31 @@ def _build_face_lookup(node_lon, node_lat, conn, cells_per_tri: float = 2.0, max
     step_x = (lon_max - lon_min) / nx
     step_y = (lat_max - lat_min) / ny
 
-    tbl = np.full((ny, nx), -1, dtype=np.int32)
+    from parcels_tpu import native
 
-    cx = (np.arange(nx) + 0.5) * step_x + lon_min
-    cy = (np.arange(ny) + 0.5) * step_y + lat_min
-
-    # exact rasterization: for each face, test the raster centers in its bbox
-    for f in range(n_face):
-        x0 = int(np.clip((tx[f].min() - lon_min) / step_x, 0, nx - 1))
-        x1 = int(np.clip((tx[f].max() - lon_min) / step_x, 0, nx - 1)) + 1
-        y0 = int(np.clip((ty[f].min() - lat_min) / step_y, 0, ny - 1))
-        y1 = int(np.clip((ty[f].max() - lat_min) / step_y, 0, ny - 1)) + 1
-        PX, PY = np.meshgrid(cx[x0:x1], cy[y0:y1])
-        a = _tri_area2(tx[f, 0], ty[f, 0], tx[f, 1], ty[f, 1], tx[f, 2], ty[f, 2])
-        if abs(a) < 1e-14:
-            continue
-        b0 = _tri_area2(PX, PY, tx[f, 1], ty[f, 1], tx[f, 2], ty[f, 2]) / a
-        b1 = _tri_area2(tx[f, 0], ty[f, 0], PX, PY, tx[f, 2], ty[f, 2]) / a
-        b2 = 1.0 - b0 - b1
-        inside = (b0 >= -1e-9) & (b1 >= -1e-9) & (b2 >= -1e-9)
-        sub = tbl[y0:y1, x0:x1]
-        sub[inside & (sub < 0)] = f
-        tbl[y0:y1, x0:x1] = sub
+    tbl = native.rasterize_faces(
+        node_lon, node_lat, conn, lat_min, lon_min, step_y, step_x, ny, nx
+    )
+    if tbl is None:  # pure-Python fallback (no g++ in the environment)
+        tbl = np.full((ny, nx), -1, dtype=np.int32)
+        cx = (np.arange(nx) + 0.5) * step_x + lon_min
+        cy = (np.arange(ny) + 0.5) * step_y + lat_min
+        for f in range(n_face):
+            x0 = int(np.clip((tx[f].min() - lon_min) / step_x, 0, nx - 1))
+            x1 = int(np.clip((tx[f].max() - lon_min) / step_x, 0, nx - 1)) + 1
+            y0 = int(np.clip((ty[f].min() - lat_min) / step_y, 0, ny - 1))
+            y1 = int(np.clip((ty[f].max() - lat_min) / step_y, 0, ny - 1)) + 1
+            PX, PY = np.meshgrid(cx[x0:x1], cy[y0:y1])
+            a = _tri_area2(tx[f, 0], ty[f, 0], tx[f, 1], ty[f, 1], tx[f, 2], ty[f, 2])
+            if abs(a) < 1e-14:
+                continue
+            b0 = _tri_area2(PX, PY, tx[f, 1], ty[f, 1], tx[f, 2], ty[f, 2]) / a
+            b1 = _tri_area2(tx[f, 0], ty[f, 0], PX, PY, tx[f, 2], ty[f, 2]) / a
+            b2 = 1.0 - b0 - b1
+            inside = (b0 >= -1e-9) & (b1 >= -1e-9) & (b2 >= -1e-9)
+            sub = tbl[y0:y1, x0:x1]
+            sub[inside & (sub < 0)] = f
+            tbl[y0:y1, x0:x1] = sub
 
     # fill uncovered cells with the nearest face centroid (so boundary
     # queries still get a sensible seed whose neighborhood is checked)
@@ -277,6 +280,11 @@ def _tri_area2(ax, ay, bx, by, cx, cy):
 def _build_face_adjacency(conn: np.ndarray) -> np.ndarray:
     """Edge-neighbor table: adj[f, k] = face sharing the edge opposite node k
     of face f (-1 on the mesh boundary). Drives the device-side walk."""
+    from parcels_tpu import native
+
+    adj = native.build_face_adjacency(conn)
+    if adj is not None:
+        return adj
     n_face = conn.shape[0]
     edge_owner: dict[tuple[int, int], tuple[int, int]] = {}
     adj = np.full((n_face, 3), -1, dtype=np.int32)

@@ -140,23 +140,46 @@ def _pallas_sample(f2, post, posz, posy, posx, Z, Y):
 #: below this folded size, the hat-weight contraction runs as one plain-XLA
 #: matmul over the whole particle batch — per-program Pallas overhead would
 #: dominate (measured: 2048 programs x ~5us beats the arithmetic by 100x)
-SMALL_FOLD_ELEMS = 64 * 512
+import os as _os
+
+SMALL_FOLD_ELEMS = int(_os.environ.get("PARCELS_TPU_SMALL_FOLD", 64 * 512))
+
+
+#: at or below this fold size the contraction unrolls to pure elementwise
+#: fused multiply-adds (weights per folded row are compile-time constants)
+UNROLL_FOLD_ELEMS = 256
 
 
 def _xla_small_sample(f2, post, posz, posy, posx, Z, Y):
-    """Hat-weight contraction in plain XLA: one (N, R) @ (R, X) matmul.
+    """Hat-weight contraction in plain XLA over the whole particle batch.
 
-    For VMEM-trivial fields the whole batch is a single MXU-friendly dot —
-    XLA tiles it far better than a per-program Pallas launch.
+    Tiny folds unroll completely: every folded-row coordinate is a static
+    constant, so the sample is ~R*X fused multiply-adds per lane — one
+    elementwise kernel, no dot, near-zero compile cost. Mid-size folds use
+    one (N, R) @ (R, X) matmul.
     """
     R, X = f2.shape
-    r = jnp.arange(R, dtype=jnp.float32)
     zy = float(Z * Y)
+
+    if R * X <= UNROLL_FOLD_ELEMS:
+        # per-axis hat factors, each unique coordinate computed once
+        izy = Z * Y
+        wt = {v: _hat(float(v) - post) for v in range(R // izy + 1)}
+        wz = {v: _hat(float(v) - posz) for v in range(Z)}
+        wy = {v: _hat(float(v) - posy) for v in range(Y)}
+        wx = {c: _hat(float(c) - posx) for c in range(X)}
+        val = jnp.zeros_like(post)
+        for r in range(R):
+            wrow = wt[r // izy] * wz[(r % izy) // Y] * wy[r % Y]
+            for c in range(X):
+                val = val + wrow * wx[c] * f2[r, c]
+        return val
+
+    r = jnp.arange(R, dtype=jnp.float32)
     t_of_r = jnp.floor(r / zy)
     rem = r - t_of_r * zy
     z_of_r = jnp.floor(rem / float(Y))
     y_of_r = rem - z_of_r * float(Y)
-
     w = (
         _hat(t_of_r[None, :] - post[:, None])
         * _hat(z_of_r[None, :] - posz[:, None])
@@ -164,8 +187,8 @@ def _xla_small_sample(f2, post, posz, posy, posx, Z, Y):
     )
     g = jnp.dot(w, f2, preferred_element_type=jnp.float32)  # (N, X)
     c = jnp.arange(X, dtype=jnp.float32)
-    wx = _hat(c[None, :] - posx[:, None])
-    return jnp.sum(g * wx, axis=1)
+    wxm = _hat(c[None, :] - posx[:, None])
+    return jnp.sum(g * wxm, axis=1)
 
 
 def linear_sample_windowed(data, gpos, fallback):

@@ -1,0 +1,97 @@
+"""Unit tests for the windowed hat-weight sampling paths (ops/interp_kernels).
+
+The TPU fast paths (unrolled elementwise / whole-batch matmul) must agree
+with the plain multi-gather multilinear computation everywhere, including at
+out-of-range positions (zero hat weight).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from parcels_tpu.ops.interp_kernels import _xla_small_sample
+
+
+def _reference_multilinear(data, post, posz, posy, posx):
+    T, Z, Y, X = data.shape
+    out = np.zeros(post.shape, dtype=np.float64)
+    for i in range(len(post)):
+        acc = 0.0
+        for t in range(T):
+            wt = max(0.0, 1 - abs(t - post[i]))
+            if wt == 0:
+                continue
+            for z in range(Z):
+                wz = max(0.0, 1 - abs(z - posz[i]))
+                if wz == 0:
+                    continue
+                for y in range(Y):
+                    wy = max(0.0, 1 - abs(y - posy[i]))
+                    if wy == 0:
+                        continue
+                    for x in range(X):
+                        wx = max(0.0, 1 - abs(x - posx[i]))
+                        acc += wt * wz * wy * wx * data[t, z, y, x]
+        out[i] = acc
+    return out
+
+
+@pytest.mark.parametrize("shape", [(4, 1, 2, 2), (4, 2, 3, 4), (2, 3, 5, 7)])
+def test_small_sample_matches_reference(shape):
+    T, Z, Y, X = shape
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=shape).astype(np.float32)
+    n = 64
+    post = rng.uniform(-0.5, T - 0.5, n).astype(np.float32)
+    posz = rng.uniform(-0.5, Z - 0.5, n).astype(np.float32)
+    posy = rng.uniform(0, Y - 1, n).astype(np.float32)
+    posx = rng.uniform(0, X - 1, n).astype(np.float32)
+
+    f2 = jnp.asarray(data.reshape(T * Z * Y, X))
+    got = np.asarray(
+        _xla_small_sample(
+            f2, jnp.asarray(post), jnp.asarray(posz), jnp.asarray(posy), jnp.asarray(posx), Z, Y
+        )
+    )
+    expected = _reference_multilinear(data, post, posz, posy, posx)
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_matmul_fold_path_matches_reference():
+    """Force the mid-size (dot) branch by exceeding the unroll threshold."""
+    shape = (4, 4, 8, 4)  # R*X = 4*4*8*4 -> R=128, X=4 -> 512 > 256
+    T, Z, Y, X = shape
+    rng = np.random.default_rng(1)
+    data = rng.normal(size=shape).astype(np.float32)
+    n = 32
+    post = rng.uniform(0, T - 1, n).astype(np.float32)
+    posz = rng.uniform(0, Z - 1, n).astype(np.float32)
+    posy = rng.uniform(0, Y - 1, n).astype(np.float32)
+    posx = rng.uniform(0, X - 1, n).astype(np.float32)
+    f2 = jnp.asarray(data.reshape(T * Z * Y, X))
+    got = np.asarray(
+        _xla_small_sample(
+            f2, jnp.asarray(post), jnp.asarray(posz), jnp.asarray(posy), jnp.asarray(posx), Z, Y
+        )
+    )
+    expected = _reference_multilinear(data, post, posz, posy, posx)
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_out_of_range_positions_get_zero_weight():
+    shape = (2, 1, 2, 2)
+    data = np.ones(shape, dtype=np.float32)
+    f2 = jnp.asarray(data.reshape(4, 2))
+    got = np.asarray(
+        _xla_small_sample(
+            f2,
+            jnp.asarray([-10.0], jnp.float32),
+            jnp.asarray([0.0], jnp.float32),
+            jnp.asarray([0.0], jnp.float32),
+            jnp.asarray([0.0], jnp.float32),
+            1,
+            2,
+        )
+    )
+    np.testing.assert_allclose(got, [0.0])
