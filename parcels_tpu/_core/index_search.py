@@ -97,8 +97,15 @@ def search_time(time_flt: jnp.ndarray, t: jnp.ndarray, uniform: tuple[float, flo
 def _bilinear_inverse(px, py, xq, yq):
     """Solve the bilinear map for (xsi, eta) given quad corners (4, n) and queries (n,).
 
-    Same quadratic-formula construction as reference index_search.py:132-149,
-    vectorized in jnp with full where-based control flow.
+    Same construction as reference index_search.py:132-149, but with a
+    numerically stable quadratic solve: the reference picks the
+    ``(-b + sqrt(det))/(2a)`` root behind a fixed ``|a| < 1e-12`` degeneracy
+    threshold, which is scale-dependent — for near-parallelogram cells with
+    metre-scale coordinates, ``a`` is pure rounding noise above that
+    threshold and the chosen root is wrong even in f64. Here the two roots
+    come from the cancellation-free ``q`` formulation and the one inside (or
+    nearest) [0, 1] is selected; the parallelogram limit falls out of the
+    ``cc/q`` root continuously, with no threshold at all.
     """
     # invA @ corners gives the bilinear polynomial coefficients.
     a0 = px[0]
@@ -114,22 +121,29 @@ def _bilinear_inverse(px, py, xq, yq):
     bb = a3 * b0 - a0 * b3 + a1 * b2 - a2 * b1 + xq * b3 - yq * a3
     cc = a1 * b0 - a0 * b1 + xq * b1 - yq * a1
     det2 = bb * bb - 4 * aa * cc
-
     det = jnp.sqrt(jnp.maximum(det2, 0.0))
-    safe_aa = jnp.where(jnp.abs(aa) < 1e-12, 1.0, 2 * aa)
-    safe_bb = jnp.where(jnp.abs(bb) < 1e-30, 1.0, bb)
-    eta = jnp.where(
-        jnp.abs(aa) < 1e-12,
-        -cc / safe_bb,
-        jnp.where(det2 > 0, (-bb + det) / safe_aa, -1.0),
-    )
+
+    sign_bb = jnp.where(bb >= 0, 1.0, -1.0)
+    q = -0.5 * (bb + sign_bb * det)
+    r1 = q / jnp.where(aa == 0.0, 1.0, aa)          # large root (noise if aa ~ 0)
+    r2 = cc / jnp.where(q == 0.0, 1.0, q)           # stable root; -cc/bb in the limit
+    r1 = jnp.where(aa == 0.0, r2, r1)
+    r2 = jnp.where(q == 0.0, 0.0, r2)
+
+    def _dist01(r):
+        return jnp.maximum(0.0, jnp.maximum(-r, r - 1.0))
+
+    eta = jnp.where(_dist01(r2) <= _dist01(r1), r2, r1)
+    eta = jnp.where(det2 < 0.0, -1.0, eta)  # no real intersection: not in cell
+
     denom = a1 + a3 * eta
     fallback = ((yq - py[0]) / jnp.where(py[1] == py[0], 1.0, py[1] - py[0]) +
                 (yq - py[3]) / jnp.where(py[2] == py[3], 1.0, py[2] - py[3])) * 0.5
+    degenerate = jnp.abs(denom) < 1e-12
     xsi = jnp.where(
-        jnp.abs(denom) < 1e-12,
+        degenerate,
         fallback,
-        (xq - a0 - a2 * eta) / jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom),
+        (xq - a0 - a2 * eta) / jnp.where(degenerate, 1.0, denom),
     )
     return xsi, eta
 
@@ -204,9 +218,11 @@ def curvilinear_point_in_cell(lon2d, lat2d, y, x, yi, xi, spherical: bool):
     clon, clat = _gather_cell_corners(lon2d, lat2d, yi, xi)
     if spherical:
         pu, pv, qu, qv = _project_cell_and_query(clon, clat, x, y)
-        xsi, eta = _bilinear_inverse(pu, pv, qu, qv)
+        xsi, eta = _bilinear_inverse(pu - pu[0], pv - pv[0], qu - pu[0], qv - pv[0])
     else:
-        xsi, eta = _bilinear_inverse(clon, clat, x, y)
+        # invert in cell-local coordinates: at global coords ~1e5 m the
+        # quadratic-formula terms cancel catastrophically in f32
+        xsi, eta = _bilinear_inverse(clon - clon[0], clat - clat[0], x - clon[0], y - clat[0])
     in_cell = (xsi >= 0) & (xsi <= 1) & (eta >= 0) & (eta <= 1)
     return in_cell, xsi, eta
 

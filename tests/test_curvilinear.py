@@ -1,0 +1,99 @@
+"""Curvilinear grid search + advection validation.
+
+Mirrors the reference's curvilinear tier (reference test_xgrid.py cell
+search + NEMO curvilinear golden trajectories): a rotated rectilinear grid
+gives genuinely 2-D lon/lat with closed-form trajectories, exercising the
+warm-start point-in-cell check, the raster-seeded cold start, and the
+directed cell walk (index_search.curvilinear_search).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from parcels_tpu import FieldSet, ParticleSet
+from parcels_tpu.datasets.structured import curvilinear_rotated_dataset
+from parcels_tpu.kernels import AdvectionEE, AdvectionRK4
+
+
+def test_cold_start_search_finds_cells():
+    ds = curvilinear_rotated_dataset()
+    fs = FieldSet.from_sgrid_conventions(ds, mesh="flat")
+    grid = fs.gridset[0]
+    assert grid.spec.curvilinear
+    view = grid.make_view(grid.device_arrays())
+
+    # query points generated INSIDE the rotated grid by construction
+    rng = np.random.default_rng(5)
+    th = np.deg2rad(30.0)
+    gx = rng.uniform(2000, 55000, 100)
+    gy = rng.uniform(2000, 35000, 100)
+    x = np.cos(th) * gx - np.sin(th) * gy
+    y = np.sin(th) * gx + np.cos(th) * gy
+
+    gpos = view.search(
+        jnp.zeros(100, jnp.float32),
+        jnp.asarray(y, dtype=jnp.float32),
+        jnp.asarray(x, dtype=jnp.float32),
+    )
+    yi = np.asarray(gpos["Y"]["index"])
+    xi = np.asarray(gpos["X"]["index"])
+    assert (yi >= 0).all() and (xi >= 0).all()
+    # the continuous cell coordinate (index + bcoord) must reconstruct the
+    # analytic pre-rotation position (points on edges may land in either
+    # neighbor cell, so exact integer equality is not required)
+    xsi = np.asarray(gpos["X"]["bcoord"])
+    eta = np.asarray(gpos["Y"]["bcoord"])
+    np.testing.assert_allclose((xi + xsi) * 1000.0, gx, atol=2.0)
+    np.testing.assert_allclose((yi + eta) * 1000.0, gy, atol=2.0)
+
+
+def test_uniform_flow_advection_on_curvilinear_grid():
+    """Uniform eastward flow: straight-line trajectories through the rotated
+    grid, crossing many cells (warm-start + walk under jit)."""
+    ds = curvilinear_rotated_dataset()
+    fs = FieldSet.from_sgrid_conventions(ds, mesh="flat")
+    th = np.deg2rad(30.0)
+    gx = np.array([5000.0, 20000.0])
+    gy = np.array([10000.0, 25000.0])
+    x0 = np.cos(th) * gx - np.sin(th) * gy
+    y0 = np.sin(th) * gx + np.cos(th) * gy
+    pset = ParticleSet(fs, x=x0.copy(), y=y0.copy(), t=[0.0, 0.0])
+    pset.execute(AdvectionRK4, dt=np.timedelta64(5, "m"), runtime=np.timedelta64(4, "h"))
+    np.testing.assert_allclose(pset.x, x0 + 4 * 3600.0, rtol=1e-5)
+    np.testing.assert_allclose(pset.y, y0, atol=0.5)
+
+
+def test_out_of_grid_flags_oob():
+    from parcels_tpu import FieldOutOfBoundError, GridSearchingError
+
+    ds = curvilinear_rotated_dataset()
+    fs = FieldSet.from_sgrid_conventions(ds, mesh="flat")
+    # start near the east edge; uniform u pushes it out of the rotated grid
+    th = np.deg2rad(30.0)
+    x0 = np.cos(th) * 58000 - np.sin(th) * 20000
+    y0 = np.sin(th) * 58000 + np.cos(th) * 20000
+    pset = ParticleSet(fs, x=[x0], y=[y0], t=[0.0])
+    with pytest.raises((FieldOutOfBoundError, GridSearchingError)):
+        pset.execute(AdvectionEE, dt=np.timedelta64(30, "m"), runtime=np.timedelta64(1, "D"))
+
+
+def test_spherical_curvilinear_search():
+    ds = curvilinear_rotated_dataset(mesh="spherical")
+    fs = FieldSet.from_sgrid_conventions(ds)
+    grid = fs.gridset[0]
+    assert grid.spec.spherical and grid.spec.curvilinear
+    view = grid.make_view(grid.device_arrays())
+    th = np.deg2rad(30.0)
+    # mid-cell points (edge-exact queries may legitimately land either side)
+    gx, gy = np.array([1.012, 2.031]), np.array([0.722, 1.118])
+    x = np.cos(th) * gx - np.sin(th) * gy + 2.0
+    y = np.sin(th) * gx + np.cos(th) * gy + 45.0
+    gpos = view.search(
+        jnp.zeros(2, jnp.float32), jnp.asarray(y, jnp.float32), jnp.asarray(x, jnp.float32)
+    )
+    xi = np.asarray(gpos["X"]["index"])
+    yi = np.asarray(gpos["Y"]["index"])
+    np.testing.assert_array_equal(xi, (gx / 0.05).astype(int))
+    np.testing.assert_array_equal(yi, (gy / 0.05).astype(int))
