@@ -227,3 +227,27 @@ def test_delft3d_to_sgrid_warns():
     with pytest.warns(UserWarning, match="experimental"):
         ds = convert.delft3d_to_sgrid(fields=fields, coords=coords)
     assert "lon" in ds and "lat" in ds
+
+
+def test_circulation_model_styles_roundtrip():
+    """Every model-style mini dataset converts and builds a FieldSet."""
+    from parcels_tpu.datasets import circulation_models as cm
+
+    for style, conv in (
+        (cm.nemo_style, convert.nemo_to_sgrid),
+        (cm.mitgcm_style, convert.mitgcm_to_sgrid),
+        (cm.croco_style, convert.croco_to_sgrid),
+        (cm.copernicusmarine_style, convert.copernicusmarine_to_sgrid),
+    ):
+        fields, coords = style()
+        ds = conv(fields=fields, coords=coords)
+        fs = FieldSet.from_sgrid_conventions(ds) if style is cm.nemo_style else FieldSet.from_sgrid_conventions(ds, mesh="flat")
+        assert "UV" in fs.fields, style.__name__
+
+    import warnings as _w
+
+    fields, coords = cm.delft3d_style()
+    with _w.catch_warnings():
+        _w.simplefilter("ignore", UserWarning)
+        ds = convert.delft3d_to_sgrid(fields=fields, coords=coords)
+    assert "lon" in ds

@@ -8,32 +8,8 @@ import numpy as np
 from hypothesis import given, settings, strategies as st
 
 from parcels_tpu import _sgrid as sgrid
+from parcels_tpu._strategies import paddings as _paddings, sgrid_metadata
 from parcels_tpu._core.timeutils import TimeInterval, timedelta_to_float
-
-_dim_names = st.text(
-    alphabet=st.characters(whitelist_categories=("Ll", "Lu"), max_codepoint=122),
-    min_size=1,
-    max_size=8,
-).filter(str.isidentifier)
-
-_paddings = st.sampled_from(list(sgrid.Padding))
-
-
-@st.composite
-def sgrid_metadata(draw):
-    names = draw(
-        st.lists(_dim_names, min_size=7, max_size=7, unique=True)
-    )
-    xn, yn, xf, yf, zn, zf, cx = names
-    return sgrid.SGrid2DMetadata(
-        node_dimensions=(xn, yn),
-        node_coordinates=(cx, cx + "y"),
-        face_dimensions=(
-            sgrid.FaceNodePadding(xf, xn, draw(_paddings)),
-            sgrid.FaceNodePadding(yf, yn, draw(_paddings)),
-        ),
-        vertical_dimensions=(sgrid.FaceNodePadding(zf, zn, draw(_paddings)),),
-    )
 
 
 @given(sgrid_metadata())
