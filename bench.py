@@ -44,6 +44,35 @@ def _build(npart: int):
     return fs, pset
 
 
+def _device_pdata(npart: int, seed: int = 1):
+    """Build the particle SoA directly on device with jax.random.
+
+    Avoids shipping ~600 MB of host arrays through a (possibly slow) tunnel
+    for the 10M-particle bench; the generated SoA is statistically identical
+    to ParticleSet's host-side construction.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(seed)
+    kx, ky = jax.random.split(key)
+    return {
+        "t": jnp.zeros(npart, jnp.float32),
+        "z": jnp.zeros(npart, jnp.float32),
+        "y": jax.random.uniform(ky, (npart,), jnp.float32, 4000.0, 21000.0),
+        "x": jax.random.uniform(kx, (npart,), jnp.float32, 4000.0, 21000.0),
+        "dz": jnp.zeros(npart, jnp.float32),
+        "dy": jnp.zeros(npart, jnp.float32),
+        "dx": jnp.zeros(npart, jnp.float32),
+        "particle_id": jnp.arange(npart, dtype=jnp.int32),
+        "dt": jnp.full(npart, 60.0, jnp.float32),
+        "state": jnp.full(npart, 10, jnp.int32),
+        "ei": jnp.zeros((npart, 1), jnp.int32),
+        "_active": jnp.ones(npart, bool),
+        "_rng": jnp.asarray(np.array([12345, 6789], np.uint32)),
+    }
+
+
 def bench_tpu(npart: int, steps: int, dt: float = 60.0) -> float:
     """Particle-steps/s of the jitted RK4 engine on the attached chip."""
     import jax
@@ -57,13 +86,15 @@ def bench_tpu(npart: int, steps: int, dt: float = 60.0) -> float:
     # and a single while-loop program compiles faster than the lax.map of
     # blocks (which only matters beyond ~100M particles).
     block_size = max(npart, 2**21)
-    fs, pset = _build(npart)
+    from parcels_tpu import FieldSet
+    from parcels_tpu.datasets import moving_eddy_dataset
+
+    fs = FieldSet.from_sgrid_conventions(moving_eddy_dataset(), mesh="flat")
     executor = build_chunk_executor(
         (AdvectionRK4,), fs, sign_dt=1, rk45_mode=False, donate=False, block_size=block_size
     )
-    pset._pad_capacity(block_size)
     farrays = fs.device_arrays()
-    pdata = {k: jnp.asarray(v) for k, v in pset._data.items()}
+    pdata = _device_pdata(npart)
 
     # warmup/compile: a short chunk. Sync via a host read — on the remote
     # tunnel backend block_until_ready can return before execution finishes,
