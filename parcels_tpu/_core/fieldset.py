@@ -513,6 +513,33 @@ class FieldSet:
                 )
         return FieldSetView(views, dict(self.context))
 
+    def eval(self, name: str, t, z, y, x):
+        """Host-side convenience sampling of a field by name.
+
+        Mirrors the reference's interactive ``fieldset.U.eval(t, z, y, x)``
+        usage (reference field.py:145): builds the traced views on demand
+        and returns numpy values. ``t`` is float seconds since the fieldset
+        time origin (or datetime64/timedelta64).
+        """
+        from parcels_tpu._core.timeutils import timedelta_to_float
+
+        t = np.atleast_1d(np.asarray(t))
+        if np.issubdtype(t.dtype, np.datetime64):
+            if self.time_interval is None:
+                raise ValueError("datetime sampling requires a fieldset time interval")
+            t = timedelta_to_float(t - np.datetime64(self.time_interval.left, "ns"))
+        elif np.issubdtype(t.dtype, np.timedelta64):
+            t = timedelta_to_float(t)
+        x = np.atleast_1d(np.asarray(x, dtype=np.float32))
+        y = np.atleast_1d(np.asarray(y, dtype=np.float32))
+        z = np.atleast_1d(np.asarray(z, dtype=np.float32))
+        t, z, y, x = np.broadcast_arrays(t.astype(np.float64), z, y, x)
+        fsv = self.build_views(self.device_arrays())
+        out = getattr(fsv, name).eval(jnp.asarray(t), jnp.asarray(z), jnp.asarray(y), jnp.asarray(x))
+        if isinstance(out, tuple):
+            return tuple(np.asarray(o) for o in out)
+        return np.asarray(out)
+
     def describe(self, buf=None) -> None:
         import sys
 

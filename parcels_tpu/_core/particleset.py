@@ -278,6 +278,7 @@ class ParticleSet:
         for f in kernels:
             if not callable(f):
                 raise TypeError(f"kernels must be callables. Got {type(f)}")
+            _check_kernel_signature(f)
         self._check_kernel_prerequisites(kernels)
 
         dt, sign_dt = _convert_dt_to_float(dt)
@@ -479,6 +480,26 @@ class ParticleSet:
                 block_size=None if blocked else 2**62,
             )
         return cache[key]
+
+
+def _check_kernel_signature(f):
+    """Kernels must accept exactly (particles, fieldset) — reference
+    kernel.py:70 validates against AdvectionRK4's signature."""
+    import inspect
+
+    try:
+        params = [
+            p
+            for p in inspect.signature(f).parameters.values()
+            if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+        ]
+    except (TypeError, ValueError):
+        return  # builtins/partials without introspectable signatures
+    if len(params) != 2:
+        raise ValueError(
+            f"Kernel {getattr(f, '__name__', f)!r} must have signature "
+            f"(particles, fieldset); got {len(params)} positional parameters."
+        )
 
 
 def _snapshot(dev: dict) -> dict:

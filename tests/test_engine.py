@@ -197,3 +197,22 @@ def test_remove_indices_and_len():
     pset.remove_indices([1])
     assert len(pset) == 2
     np.testing.assert_array_equal(pset.particle_id, [0, 2])
+
+
+def test_kernel_signature_validated():
+    pset = ParticleSet(_eddy_fs(), x=[12000.0], y=[12000.0])
+
+    def bad_kernel(particles):
+        pass
+
+    with pytest.raises(ValueError, match="signature"):
+        pset.execute([bad_kernel], dt=np.timedelta64(5, "m"), runtime=np.timedelta64(1, "h"))
+
+
+def test_fieldset_eval_host_convenience():
+    fs = uniform_flow_fieldset(u=1.0, v=0.5)
+    u, v = fs.eval("UV", 0.0, 0.0, [1e5, 2e5], [1e5, 3e5])
+    np.testing.assert_allclose(u, [1.0, 1.0], rtol=1e-6)
+    np.testing.assert_allclose(v, [0.5, 0.5], rtol=1e-6)
+    uo = fs.eval("U", 0.0, 0.0, 1e5, 1e5)
+    np.testing.assert_allclose(uo, [1.0], rtol=1e-6)
