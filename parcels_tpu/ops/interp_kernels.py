@@ -19,7 +19,12 @@ eliminates random access entirely for fields whose spatial block fits VMEM:
 
 Cost per particle-sample is ``2*W*Z*Y*X`` flops with no HBM random access;
 the weight matrices never leave VMEM. Large 3-D fields (beyond the VMEM
-budget) use the XLA path until the tiled/sorted kernel lands.
+budget) use the XLA 16-corner flat-gather path (measured ~7M samples/s on a
+(2,50,500,500) field on v5e; a fancy strided lax.gather of 2x2x2x2 patches
+measured 13x SLOWER, so flat gathers stay). Planned next step for the
+large-field regime: sort particles by cell index per chunk so gathers hit
+HBM with locality, then a Pallas kernel streaming field Y-tiles against the
+binned particle ranges.
 """
 
 from __future__ import annotations
