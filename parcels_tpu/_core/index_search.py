@@ -223,7 +223,12 @@ def curvilinear_point_in_cell(lon2d, lat2d, y, x, yi, xi, spherical: bool):
         # invert in cell-local coordinates: at global coords ~1e5 m the
         # quadratic-formula terms cancel catastrophically in f32
         xsi, eta = _bilinear_inverse(clon - clon[0], clat - clat[0], x - clon[0], y - clat[0])
-    in_cell = (xsi >= 0) & (xsi <= 1) & (eta >= 0) & (eta <= 1)
+    # f32-aware acceptance margin: a point riding a cell edge can compute as
+    # fractionally outside BOTH neighbouring cells under fused f32 rounding
+    # (the reference's zero-tolerance check is safe only in f64); without the
+    # margin the walk oscillates between the two cells and errors out.
+    tol = 1e-5
+    in_cell = (xsi >= -tol) & (xsi <= 1 + tol) & (eta >= -tol) & (eta <= 1 + tol)
     return in_cell, xsi, eta
 
 

@@ -296,3 +296,28 @@ def test_analytical_advection_uniform_flow_c_grid():
         AdvectionAnalytical, dt=np.timedelta64(30, "m"), runtime=np.timedelta64(3, "h")
     )
     assert np.all(pset.x > x0 + 1e3), pset.x
+
+
+@pytest.mark.parametrize("grid_type", ["A", "C"])
+def test_peninsula_spherical_streamfunction_conservation(grid_type):
+    """Spherical-mesh peninsula: exercises the deg<->m velocity conversion on
+    both staggering variants (reference tests/test_advection.py peninsula
+    sphere variants)."""
+    from parcels_tpu import Particle
+
+    ds = peninsula_dataset(grid_type=grid_type, mesh="spherical")
+    fs = FieldSet.from_sgrid_conventions(ds)
+    assert fs.gridset[0].mesh.is_spherical()
+    pclass = Particle.add_variable(Variable("p", dtype=np.float32))
+    deg = 1852.0 * 60.0
+    x0 = np.array([3e3] * 3) / deg
+    y0 = np.array([1.2e4, 2.5e4, 4.0e4]) / deg
+    pset = ParticleSet(fs, pclass=pclass, x=x0, y=y0)
+    pset.execute(
+        [AdvectionRK4, SampleP], dt=np.timedelta64(30, "m"), runtime=np.timedelta64(12, "h")
+    )
+    p_start = _sample_p(fs, x0, y0)
+    err = np.abs(pset.p - p_start) / np.abs(p_start).max()
+    assert np.all(err < 2e-2), err
+    # flow is eastward upstream: all particles must progress in lon
+    assert np.all(pset.x > x0 + 1e4 / deg)

@@ -97,3 +97,58 @@ def test_spherical_curvilinear_search():
     yi = np.asarray(gpos["Y"]["index"])
     np.testing.assert_array_equal(xi, (gx / 0.05).astype(int))
     np.testing.assert_array_equal(yi, (gy / 0.05).astype(int))
+
+
+def test_cgrid_velocity_on_curvilinear_grid():
+    """C-grid fluxes on a rotated 2-D grid: uniform flux through x-faces is a
+    physical velocity along the grid's (rotated) x-direction."""
+    from parcels_tpu import _sgrid as sgrid
+    from parcels_tpu import xrlite as xr
+
+    xdim, ydim, s = 40, 30, 1000.0
+    th = np.deg2rad(30.0)
+    xg, yg = np.meshgrid(np.arange(xdim) * s, np.arange(ydim) * s)
+    lon2d = np.cos(th) * xg - np.sin(th) * yg
+    lat2d = np.sin(th) * xg + np.cos(th) * yg
+
+    u0 = 1.0  # m/s through the x-faces, uniform
+    U = np.full((2, 1, ydim, xdim), u0, np.float32)
+    V = np.zeros((2, 1, ydim, xdim), np.float32)
+    time = np.array([np.timedelta64(0, "s"), np.timedelta64(10, "D")])
+    ds = xr.Dataset(
+        {"U": (["time", "depth", "YG", "XC"], U), "V": (["time", "depth", "YC", "XG"], V)},
+        coords={
+            "time": (["time"], time, {"axis": "T"}),
+            "depth": (["depth"], np.array([0.0]), {"axis": "Z"}),
+            "YC": (["YC"], np.arange(ydim) - 0.5, {"axis": "Y"}),
+            "YG": (["YG"], np.arange(ydim, dtype=np.float64), {"axis": "Y"}),
+            "XC": (["XC"], np.arange(xdim) - 0.5, {"axis": "X"}),
+            "XG": (["XG"], np.arange(xdim, dtype=np.float64), {"axis": "X"}),
+            "lat": (["YG", "XG"], lat2d, {"axis": "Y", "units": "m"}),
+            "lon": (["YG", "XG"], lon2d, {"axis": "X", "units": "m"}),
+        },
+    )
+    meta = sgrid.SGrid2DMetadata(
+        node_dimensions=("XG", "YG"),
+        node_coordinates=("lon", "lat"),
+        face_dimensions=(
+            sgrid.FaceNodePadding("XC", "XG", sgrid.Padding.LOW),
+            sgrid.FaceNodePadding("YC", "YG", sgrid.Padding.LOW),
+        ),
+        vertical_dimensions=(sgrid.FaceNodePadding("ZC", "depth", sgrid.Padding.BOTH),),
+    )
+    ds = sgrid.attach_sgrid_metadata(ds, meta)
+    fs = FieldSet.from_sgrid_conventions(ds, mesh="flat")
+    from parcels_tpu import CGrid_Velocity
+
+    assert isinstance(fs.fields["UV"].interp_method, CGrid_Velocity)
+
+    gx, gy = np.array([5000.0, 12000.0]), np.array([8000.0, 20000.0])
+    x0 = np.cos(th) * gx - np.sin(th) * gy
+    y0 = np.sin(th) * gx + np.cos(th) * gy
+    pset = ParticleSet(fs, x=x0.copy(), y=y0.copy(), t=[0.0, 0.0])
+    runtime = 4 * 3600
+    pset.execute(AdvectionRK4, dt=np.timedelta64(5, "m"), runtime=np.timedelta64(runtime, "s"))
+    # displacement u0*t along the rotated +x direction
+    np.testing.assert_allclose(pset.x, x0 + np.cos(th) * u0 * runtime, rtol=1e-4)
+    np.testing.assert_allclose(pset.y, y0 + np.sin(th) * u0 * runtime, rtol=1e-4)
