@@ -34,7 +34,10 @@ from parcels_tpu._core.grid import _make_time_interval, _uniform_spacing
 
 __all__ = ["UxGrid", "UxGridSpec", "ux_search"]
 
-_BC_TOL = 1e-6
+# f32-aware acceptance margin (the reference's 1e-6 assumes f64 barycentric
+# arithmetic; under fused f32 an edge-riding point can fall fractionally
+# outside BOTH adjacent triangles and the walk would oscillate)
+_BC_TOL = 1e-5
 
 
 @dataclasses.dataclass(frozen=True)

@@ -107,3 +107,19 @@ def test_ux_search_warm_and_cold():
     # warm start from the found faces hits immediately
     gpos2 = view.search(z, y, x, ei=jnp.asarray(fi))
     np.testing.assert_array_equal(np.asarray(gpos2["FACE"]["index"]), fi)
+
+
+def test_edge_riding_particle_survives():
+    """A particle advected exactly along a mesh edge must not error (f32
+    membership-tolerance regression guard, cf. curvilinear analogue)."""
+    ds = delaunay_flow_dataset(flow="uniform", placement="node", vertical="zc",
+                               u0=1.0, v0=0.0)
+    fs = FieldSet.from_ugrid_conventions(ds, mesh="flat")
+    # the unjittered boundary rows of the Delaunay mesh run exactly along
+    # y = const gridlines: advect along one for many cells
+    grid = fs.gridset[0]
+    ys = np.unique(np.round(np.asarray(grid.node_lat), 6))
+    y_edge = ys[len(ys) // 2]
+    pset = ParticleSet(fs, x=[5e3], y=[float(y_edge)], z=[10.0], t=[0.0])
+    pset.execute(AdvectionRK4, dt=np.timedelta64(10, "m"), runtime=np.timedelta64(12, "h"))
+    np.testing.assert_allclose(pset.x, 5e3 + 12 * 3600.0, rtol=1e-5)
