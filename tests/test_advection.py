@@ -321,3 +321,57 @@ def test_peninsula_spherical_streamfunction_conservation(grid_type):
     assert np.all(err < 2e-2), err
     # flow is eastward upstream: all particles must progress in lon
     assert np.all(pset.x > x0 + 1e4 / deg)
+
+
+def test_analytical_advection_3d_with_w():
+    """AdvectionAnalytical withW: uniform (u, 0, w) C-grid flow gives linear
+    trajectories in x and z (exponential-in-cell degenerates to linear)."""
+    from parcels_tpu import _sgrid as sgrid
+    from parcels_tpu import xrlite as xr
+    from parcels_tpu.kernels import AdvectionAnalytical
+
+    xdim, ydim, nz = 30, 20, 6
+    s = 1000.0
+    lon = np.arange(xdim) * s
+    lat = np.arange(ydim) * s
+    depth = np.linspace(0.0, 120.0, nz)
+    u0, w0 = 0.05, 0.002
+    shape = (2, nz, ydim, xdim)
+    time = np.array([np.timedelta64(0, "s"), np.timedelta64(10, "D")])
+    ds = xr.Dataset(
+        {
+            "U": (["time", "depth", "YG", "XC"], np.full(shape, u0, np.float32)),
+            "V": (["time", "depth", "YC", "XG"], np.zeros(shape, np.float32)),
+            "W": (["time", "depth", "YC", "XC"], np.full(shape, w0, np.float32)),
+        },
+        coords={
+            "time": (["time"], time, {"axis": "T"}),
+            "depth": (["depth"], depth, {"axis": "Z"}),
+            "YC": (["YC"], np.arange(ydim) - 0.5, {"axis": "Y"}),
+            "YG": (["YG"], np.arange(ydim, dtype=np.float64), {"axis": "Y"}),
+            "XC": (["XC"], np.arange(xdim) - 0.5, {"axis": "X"}),
+            "XG": (["XG"], np.arange(xdim, dtype=np.float64), {"axis": "X"}),
+            "lat": (["YG"], lat, {"axis": "Y", "units": "m"}),
+            "lon": (["XG"], lon, {"axis": "X", "units": "m"}),
+        },
+    )
+    meta = sgrid.SGrid2DMetadata(
+        node_dimensions=("XG", "YG"),
+        node_coordinates=("lon", "lat"),
+        face_dimensions=(
+            sgrid.FaceNodePadding("XC", "XG", sgrid.Padding.LOW),
+            sgrid.FaceNodePadding("YC", "YG", sgrid.Padding.LOW),
+        ),
+        vertical_dimensions=(sgrid.FaceNodePadding("ZC", "depth", sgrid.Padding.BOTH),),
+    )
+    ds = sgrid.attach_sgrid_metadata(ds, meta)
+    fs = FieldSet.from_sgrid_conventions(ds, mesh="flat")
+
+    runtime = 6 * 3600
+    pset = ParticleSet(fs, x=[2500.0], y=[9500.0], z=[10.0], t=[0.0])
+    pset.execute(
+        AdvectionAnalytical, dt=np.timedelta64(30, "m"), runtime=np.timedelta64(runtime, "s")
+    )
+    np.testing.assert_allclose(pset.x, 2500.0 + u0 * runtime, rtol=1e-4)
+    np.testing.assert_allclose(pset.z, 10.0 + w0 * runtime, rtol=1e-3)
+    np.testing.assert_allclose(pset.y, 9500.0, atol=1.0)
