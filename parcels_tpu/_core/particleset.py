@@ -299,6 +299,12 @@ class ParticleSet:
         rk45_mode = "RK45_tol" in self.fieldset.context
         pmesh = getattr(self, "_pmesh", None)
         domain = getattr(self, "_domain", None)
+        if self.fieldset._time_window is not None and (pmesh is not None or domain is not None):
+            raise NotImplementedError(
+                "Time-windowed streaming is not yet supported together with "
+                "sharded execution (ParticleMesh/YBandDomain); drop "
+                "set_time_window or run single-device."
+            )
         if domain is not None:
             from parcels_tpu.parallel.domain import build_domain_executor
 

@@ -1,0 +1,81 @@
+"""Support-layer tests: xrlite containers, tutorial API, describe/repr,
+warning taxonomy, windowing/sharding guard."""
+
+import io
+
+import numpy as np
+import pytest
+
+from parcels_tpu import FieldSet, ParticleSet, tutorial
+from parcels_tpu import xrlite as xr
+from parcels_tpu.datasets import moving_eddy_dataset
+
+
+def test_xrlite_dataset_basics():
+    ds = xr.Dataset(
+        {"U": (("t", "x"), np.zeros((2, 3)))},
+        coords={"x": (("x",), np.arange(3.0), {"units": "m"})},
+    )
+    assert ds.sizes == {"t": 2, "x": 3}
+    assert "U" in ds and "x" in ds.coords
+    ds2 = ds.rename({"U": "V", "x": "lon"})
+    assert "V" in ds2 and "lon" in ds2.dims
+    assert "U" not in ds2
+    assert ds2["lon"].attrs["units"] == "m"
+    # original untouched
+    assert "U" in ds
+
+
+def test_xrlite_conflicting_dims_rejected():
+    with pytest.raises(ValueError, match="Conflicting"):
+        xr.Dataset({"a": (("x",), np.zeros(3)), "b": (("x",), np.zeros(4))})
+
+
+def test_xrlite_dataarray_dims_must_match():
+    with pytest.raises(ValueError):
+        xr.DataArray(np.zeros((2, 3)), dims=("t",))
+
+
+def test_tutorial_open_dataset():
+    ds = tutorial.open_dataset("moving_eddy")
+    assert "U" in ds.data_vars
+    with pytest.raises(ValueError, match="Unknown tutorial dataset"):
+        tutorial.open_dataset("nope")
+    assert "moving_eddy" in tutorial.list_datasets()
+
+
+def test_describe_and_repr_smoke():
+    fs = FieldSet.from_sgrid_conventions(moving_eddy_dataset(), mesh="flat")
+    buf = io.StringIO()
+    fs.describe(buf)
+    assert "UV" in buf.getvalue()
+    pset = ParticleSet(fs, x=[12000.0], y=[12000.0])
+    assert "ParticleSet(n=1" in repr(pset)
+    buf2 = io.StringIO()
+    pset.describe(buf2)
+    assert "x:" in buf2.getvalue()
+    assert "XGrid(" in repr(fs.gridset[0])
+
+
+def test_windowing_with_sharding_raises():
+    import jax
+
+    from parcels_tpu.kernels import AdvectionEE
+    from parcels_tpu.parallel import ParticleMesh, shard_particleset
+
+    fs = FieldSet.from_sgrid_conventions(moving_eddy_dataset(), mesh="flat")
+    fs.set_time_window(8)
+    pset = ParticleSet(fs, x=[12000.0], y=[12000.0], t=[0.0])
+    shard_particleset(pset, ParticleMesh(n_devices=1))
+    with pytest.raises(NotImplementedError, match="windowed"):
+        pset.execute(AdvectionEE, dt=np.timedelta64(5, "m"), runtime=np.timedelta64(30, "m"))
+
+
+def test_context_constant_readable_and_guarded():
+    fs = FieldSet.from_sgrid_conventions(moving_eddy_dataset(), mesh="flat")
+    fs.add_context("dres", 123.0)
+    assert fs.dres == 123.0
+    with pytest.raises(ValueError, match="already has a context"):
+        fs.add_context("dres", 5.0)
+    with pytest.raises(AttributeError, match="Cannot assign"):
+        fs.dres = 7.0
