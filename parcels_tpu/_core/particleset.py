@@ -283,8 +283,12 @@ class ParticleSet:
 
         dt, sign_dt = _convert_dt_to_float(dt)
         runtime = _convert_runtime_to_float(runtime)
+        # time plumbing must see only ACTIVE lanes: inactive padding lanes
+        # carry t=0 fills that would otherwise drag the start time back
+        active_mask = np.asarray(self._data["_active"])
+        release_t = np.asarray(self._data["t"])[active_mask]
         start_time, end_time = _get_simulation_start_and_end_times(
-            self.fieldset.time_interval, self._data["t"], runtime, endtime, sign_dt
+            self.fieldset.time_interval, release_t, runtime, endtime, sign_dt
         )
 
         self._data["dt"] = np.full_like(np.asarray(self._data["dt"]), dt)
@@ -294,7 +298,7 @@ class ParticleSet:
             self._data["t"] = tarr
 
         outputdt = output_file.outputdt if output_file else None
-        _warn_outputdt_release_desync(outputdt, start_time, np.asarray(self._data["t"]))
+        _warn_outputdt_release_desync(outputdt, start_time, release_t)
 
         rk45_mode = "RK45_tol" in self.fieldset.context
         pmesh = getattr(self, "_pmesh", None)
@@ -453,11 +457,27 @@ class ParticleSet:
                     fs.add_context("RK45_max_dt", 60 * 60 * 24)
 
     def _pad_capacity(self, block_size: int):
-        """Pad the SoA with inactive lanes so n is a multiple of block_size."""
+        """Pad the SoA with inactive lanes to a canonical lane count.
+
+        Lane counts are rounded up to the next power of two (>= 8) below
+        8192 and to multiples of 8192 beyond, then to multiples of
+        ``block_size``. Canonical counts mean (a) different particle counts
+        reuse the same compiled engine program — compilation on remote TPU
+        runtimes costs minutes — and (b) tile-aligned shapes (non-aligned
+        lane counts measured ~1.4x slower at 10M).
+        """
         n = self._data["state"].shape[0]
-        if n <= block_size or n % block_size == 0:
+        if n < 8192:
+            target = 8
+            while target < n:
+                target *= 2
+        else:
+            target = -(-n // 8192) * 8192
+        if target > block_size and target % block_size:
+            target = -(-target // block_size) * block_size
+        pad = target - n
+        if pad == 0:
             return
-        pad = (-n) % block_size
         out = {}
         for k, v in self._data.items():
             v = np.asarray(v)
