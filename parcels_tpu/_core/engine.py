@@ -34,6 +34,120 @@ __all__ = ["DEFAULT_BLOCK_SIZE", "build_chunk_executor", "compute_loop_masks", "
 DEFAULT_BLOCK_SIZE = int(os.environ.get("PARCELS_TPU_BLOCK_SIZE", 2**21))
 
 
+# ---------------------------------------------------------------------------
+# spatial chunk sorting (feeds ops/binned_sample.py)
+# ---------------------------------------------------------------------------
+
+
+def _pick_sort_field(fieldset):
+    """Name of the largest field that needs the binned sampler, or None."""
+    from parcels_tpu._core.field import Field, VectorField
+    from parcels_tpu.ops.binned_sample import binned_usable
+    from parcels_tpu.ops.interp_kernels import fits_fast_path
+
+    best = None
+    for f in fieldset.fields.values():
+        cand = f.U if isinstance(f, VectorField) else f
+        if not isinstance(cand, Field) or cand.data.ndim != 4:
+            continue
+        if fits_fast_path(cand.data.shape) or not binned_usable(cand.data.shape):
+            continue
+        # curvilinear search has no O(1) cold start; sorting would pay a
+        # hash-walk per chunk — leave those to the gather path for now
+        if cand.grid.spec.curvilinear:
+            continue
+        if best is None or cand.data.size > best.data.size:
+            best = cand
+    return best.name if best is not None else None
+
+
+def _sort_mode_enabled(fieldset) -> bool:
+    mode = os.environ.get("PARCELS_TPU_SORT_MODE", "auto")
+    if mode in ("0", "off"):
+        return False
+    if _pick_sort_field(fieldset) is None:
+        return False
+    if mode == "force":
+        return True
+    return jax.default_backend() not in ("cpu",)
+
+
+def _soa_sortable(pdata) -> bool:
+    """All per-particle arrays must be 4-byte scalars for the packed permute."""
+    return all(
+        k == "_rng" or (v.dtype.itemsize == 4 or v.dtype == jnp.bool_)
+        for k, v in pdata.items()
+    )
+
+
+def _permute_soa(pdata, order):
+    """Reorder every per-particle array by ``order`` with ONE packed row-gather.
+
+    Per-column takes cost ~7x more than a single (n, C) row gather on TPU
+    (measured, BASELINE.md); all on-device particle dtypes are 32-bit, so the
+    SoA packs losslessly into one int32 matrix.
+    """
+    import jax.lax as lax
+
+    cols, meta = [], []
+    for k in sorted(pdata):
+        v = pdata[k]
+        if k == "_rng":
+            continue
+        if v.dtype == jnp.bool_:
+            enc = lambda a: a.astype(jnp.int32)
+            dec = lambda a, dt=v.dtype: a.astype(dt)
+        elif v.dtype == jnp.int32:
+            enc = lambda a: a
+            dec = lambda a: a
+        else:  # f32 / u32: bitcast
+            enc = lambda a, dt=v.dtype: lax.bitcast_convert_type(a, jnp.int32)
+            dec = lambda a, dt=v.dtype: lax.bitcast_convert_type(a, dt)
+        if v.ndim == 1:
+            cols.append(enc(v))
+            meta.append((k, dec, 1, 1))
+        else:
+            for i in range(v.shape[1]):
+                cols.append(enc(v[:, i]))
+            meta.append((k, dec, v.shape[1], 2))
+    mat = jnp.stack(cols, axis=1)
+    mat = jnp.take(mat, order, axis=0)
+    out = dict(pdata)
+    c = 0
+    for k, dec, w, ndim in meta:
+        if ndim == 1:
+            out[k] = dec(mat[:, c])
+        else:
+            out[k] = dec(jnp.stack([mat[:, c + i] for i in range(w)], axis=1))
+        c += w
+    return out
+
+
+def _sort_soa(fsview, sort_field_name, pdata):
+    """Sort the SoA by spatial bin of the current positions; returns (pdata, order)."""
+    from parcels_tpu._core.field import VectorFieldView
+    from parcels_tpu.ops.binned_sample import sort_key_for
+
+    fv = getattr(fsview, sort_field_name)
+    if isinstance(fv, VectorFieldView):
+        fv = fv.U
+    gv = fv.grid
+    gpos = gv.search(pdata["z"], pdata["y"], pdata["x"])
+    key = sort_key_for(gv.spec, gpos, tuple(fv.data.shape), pdata["state"].shape[0])
+    n = key.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    # inactive lanes sort to the end (their positions may be stale)
+    key = jnp.where(pdata["_active"], key, jnp.int32(2**31 - 1))
+    _, order = jax.lax.sort_key_val(key, iota)
+    return _permute_soa(pdata, order), order
+
+
+def _unsort_soa(pdata, order):
+    n = order.shape[0]
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    return _permute_soa(pdata, inv)
+
+
 def build_chunk_executor(
     kernel_fns: Sequence[Callable],
     fieldset,
@@ -59,15 +173,25 @@ def build_chunk_executor(
     kernel_fns = tuple(kernel_fns)
     if block_size is None:
         block_size = DEFAULT_BLOCK_SIZE
+    sort_mode = _sort_mode_enabled(fieldset)
+    sort_field_name = _pick_sort_field(fieldset) if sort_mode else None
 
     def chunk(farrays, pdata, endtime, dt0):
         fsview = fieldset.build_views(farrays)
         endtime = jnp.asarray(endtime, dtype=pdata["t"].dtype)
         dt0 = jnp.asarray(dt0, dtype=pdata["dt"].dtype)
 
+        sorting = sort_field_name is not None and _soa_sortable(pdata)
+        order = None
+        if sorting:
+            pdata, order = _sort_soa(fsview, sort_field_name, pdata)
+
         n = pdata["state"].shape[0]
         if n <= block_size:
-            return _run_block(fsview, dict(pdata), endtime, dt0, kernel_fns, sign_dt, rk45_mode)
+            out = _run_block(
+                fsview, dict(pdata), endtime, dt0, kernel_fns, sign_dt, rk45_mode, sorting
+            )
+            return _unsort_soa(out, order) if sorting else out
 
         if n % block_size:
             raise ValueError(
@@ -84,13 +208,15 @@ def build_chunk_executor(
                 blocked[k] = v.reshape((B, block_size) + v.shape[1:])
 
         out = jax.lax.map(
-            lambda pd: _run_block(fsview, dict(pd), endtime, dt0, kernel_fns, sign_dt, rk45_mode),
+            lambda pd: _run_block(
+                fsview, dict(pd), endtime, dt0, kernel_fns, sign_dt, rk45_mode, sorting
+            ),
             blocked,
         )
         merged = {}
         for k, v in out.items():
             merged[k] = v[0] if k == "_rng" else v.reshape((n,) + v.shape[2:])
-        return merged
+        return _unsort_soa(merged, order) if sorting else merged
 
     donate_argnums = (1,) if donate else ()
     return jax.jit(chunk, donate_argnums=donate_argnums)
@@ -106,7 +232,7 @@ def compute_loop_masks(pd, endtime, sign_dt):
     return busy, halt
 
 
-def _run_block(fsview, pdata, endtime, dt0, kernel_fns, sign_dt, rk45_mode):
+def _run_block(fsview, pdata, endtime, dt0, kernel_fns, sign_dt, rk45_mode, sorted_hint=False):
     """The full inner time loop for one particle block (traced)."""
     # Chunk start: active particles are (re)queued for evaluation
     # (reference kernel.py:190).
@@ -119,12 +245,12 @@ def _run_block(fsview, pdata, endtime, dt0, kernel_fns, sign_dt, rk45_mode):
         return jnp.any(busy) & ~jnp.any(halt)
 
     def body(pd):
-        return engine_step(fsview, pd, endtime, dt0, kernel_fns, sign_dt, rk45_mode)
+        return engine_step(fsview, pd, endtime, dt0, kernel_fns, sign_dt, rk45_mode, sorted_hint)
 
     return jax.lax.while_loop(cond, body, pdata)
 
 
-def engine_step(fsview, pd, endtime, dt0, kernel_fns, sign_dt, rk45_mode):
+def engine_step(fsview, pd, endtime, dt0, kernel_fns, sign_dt, rk45_mode, sorted_hint=False):
     """One iteration of the inner loop: kernel chain + state machine update."""
     pd = dict(pd)
     act = pd["_active"]
@@ -142,7 +268,7 @@ def engine_step(fsview, pd, endtime, dt0, kernel_fns, sign_dt, rk45_mode):
     # Kernel chain; each kernel is followed by masked Repeat
     # resubmission (RK45 adaptive dt, reference kernel.py:208-218).
     for f in kernel_fns:
-        view = Particles(pd, eval_mask)
+        view = Particles(pd, eval_mask, sorted_hint)
         f(view, fsview)
 
         def rcond(pdd):
@@ -150,7 +276,9 @@ def engine_step(fsview, pd, endtime, dt0, kernel_fns, sign_dt, rk45_mode):
 
         def rbody(pdd, f=f):
             pdd = dict(pdd)
-            rview = Particles(pdd, pdd["_active"] & (pdd["state"] == StatusCode.Repeat))
+            rview = Particles(
+                pdd, pdd["_active"] & (pdd["state"] == StatusCode.Repeat), sorted_hint
+            )
             f(rview, fsview)
             return pdd
 

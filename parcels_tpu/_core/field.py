@@ -174,6 +174,8 @@ def _get_positions(field: FieldView, t, z, y, x, particles: Particles | None):
     ei = particles._get_ei(field.igrid) if particles is not None else None
     gpos = field.grid.search(z, y, x, ei=ei)
     gpos["T"] = {"index": ti, "bcoord": tau}
+    # static hint: SoA is engine-sorted -> binned slab sampler applies
+    gpos["_sorted"] = bool(particles is not None and getattr(particles, "_sorted_hint", False))
 
     if particles is not None:
         _update_particles_ei(particles, gpos, field)

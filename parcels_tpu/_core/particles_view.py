@@ -19,11 +19,14 @@ __all__ = ["Particles"]
 class Particles:
     """Masked write-through view over the particle SoA used inside kernels."""
 
-    __slots__ = ("_data", "_mask")
+    __slots__ = ("_data", "_mask", "_sorted_hint")
 
-    def __init__(self, data: dict, mask):
+    def __init__(self, data: dict, mask, sorted_hint: bool = False):
         object.__setattr__(self, "_data", data)
         object.__setattr__(self, "_mask", mask)
+        # static trace-time hint: the engine keeps the SoA spatially sorted,
+        # enabling the binned slab sampler (ops/binned_sample.py)
+        object.__setattr__(self, "_sorted_hint", sorted_hint)
 
     def __getattr__(self, name):
         try:

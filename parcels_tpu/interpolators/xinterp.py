@@ -128,6 +128,11 @@ class XLinear(ScalarInterpolator):
             from parcels_tpu.ops.interp_kernels import linear_sample_windowed
 
             return linear_sample_windowed(data, gpos, xla_path)
+
+        from parcels_tpu.ops.binned_sample import binned_enabled, binned_linear_sample
+
+        if binned_enabled(data.shape, gpos):
+            return binned_linear_sample(data, gpos)
         return xla_path()
 
 

@@ -1,0 +1,472 @@
+"""Binned slab sampler: multilinear interpolation of HBM-scale fields.
+
+The missing performance tier between the VMEM hat-weight fold
+(ops/interp_kernels.py — fields whose window fits on-chip) and the XLA
+16-corner gather (reference hot path, _xinterpolators.py:25-75), which on
+TPU is instruction-bound at ~5-7 M samples/s regardless of locality
+(measured on v5e, see BASELINE.md).
+
+Design. The engine keeps the particle SoA approximately sorted by spatial
+bin (engine.py sorts at chunk boundaries with one packed row-gather). The
+domain is partitioned into bins of ``(bz, by, bx)`` cells, sized at trace
+time from the particle density so a bin holds a few CHUNKs of particles;
+each Pallas program then handles CHUNK consecutive sorted particles, which
+span at most two bins in the common case. The program DMAs the two bins'
+field slabs HBM->VMEM (double-buffered across programs) and samples all its
+particles with a hat-weight MXU contraction against the two slabs stacked
+row-wise — no per-element random access anywhere:
+
+    value_p = sum_r  sel_p(r) hat(t_r - t_p) hat(z_r - z_p) hat(y_r - y_p)
+              * fold[r, :] . hat(x_cols - x_p)     (MXU + VPU row reduce)
+
+where ``sel_p`` zeroes the rows of the slab the particle does not belong
+to. Slab extents exceed the bin by the interpolation stencil (+1 cell) and
+by the (8, 128) HBM-tiling alignment of DMA origins, so a particle inside a
+bin never reads outside its slab.
+
+Particles outside both of their chunk's bins ("overflow": chunks straddling
+three bins, stale/just-migrated lanes, or an unsorted SoA) are corrected
+with a capacity-K compacted gather; if overflow exceeds K the whole batch
+falls back to the plain gather path — correctness never depends on
+sortedness.
+
+Reference semantics preserved: per-axis linear blend with clipped upper
+index, degenerate (len-1) axes pinned (reference
+interpolators/_xinterpolators.py:112-153); out-of-bounds masking stays in
+field.py's `_mask_oob_values`.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "CHUNK",
+    "binned_usable",
+    "binned_linear_sample",
+    "slab_geometry",
+    "sort_key_for",
+]
+
+#: particles per Pallas program (one slab pair per chunk)
+CHUNK = int(os.environ.get("PARCELS_TPU_BINNED_CHUNK", 1024))
+
+#: want at least this many particles per bin (in CHUNK units)
+_BIN_FILL = 3
+
+#: fold rows per MXU pass (bounds the live per-program weight tile)
+_ROW_BLOCK = 256
+
+
+def _padded_dims(shape4):
+    """Y/X padded up to the HBM (8, 128) tiling (DMA origins must align)."""
+    T, Z, Y, X = shape4
+    return T, Z, -(-Y // 8) * 8, -(-X // 128) * 128
+
+
+def binned_usable(shape4) -> bool:
+    """Static check: is the slab geometry worthwhile for this field shape?"""
+    T, Z, Y, X = shape4
+    return Y >= 8 and X >= 128
+
+
+@functools.lru_cache(maxsize=None)
+def slab_geometry(shape4, n):
+    """Trace-time bin/slab geometry from field shape and particle count.
+
+    Bins of (bz, by, bx) cells; slab extents (WT, SZ, SY, SX) cover a bin
+    plus the +1 interpolation stencil plus DMA-origin alignment slack
+    (y origins round down to 8, x origins to 128). Candidates are scored:
+    prefer the smallest MXU cost whose expected bin population (uniform
+    density) is >= _BIN_FILL * CHUNK; if none qualifies (sparse regime),
+    take the largest-bin candidate and let overflow/fallback absorb it.
+    """
+    T, Z, Yp, Xp = _padded_dims(shape4)
+    WT = 1 if T == 1 else 2
+    density = n / float(max(Z * Yp * Xp, 1))
+
+    sz_cands = [1] if Z == 1 else [min(Z, s) for s in (2, 3, 5)]
+    sy_cands = [s for s in (16, 24, 32, 48, 64) if s <= max(Yp, 16)]
+    sx_cands = [s for s in (256, 384, 512) if s <= max(Xp, 256)]
+
+    best = None  # (feasible, -cost or bin_volume) -> geometry
+    for SZ in dict.fromkeys(sz_cands):
+        bz = max(SZ - 1, 1) if Z > 1 else 1
+        for SY in sy_cands:
+            by = max(SY - 9, 1)
+            for SX in sx_cands:
+                bx = max(SX - 129, 1)
+                cost = 2 * WT * SZ * SY * SX  # fold rows x cols per particle
+                R = WT * SZ * SY
+                wrows = min(2 * R, _ROW_BLOCK)
+                # slabs (+fold copy) + ~3 live (CHUNK, wrows) hat tiles + acc
+                vmem = 4 * (6 * WT * SZ * SY * SX + 3 * CHUNK * wrows + 2 * CHUNK * SX)
+                if vmem > 8 * 2**20:
+                    continue
+                vbin = bz * by * bx
+                feasible = density * vbin >= _BIN_FILL * CHUNK
+                rank = (feasible, -cost if feasible else vbin)
+                if best is None or rank > best[0]:
+                    best = (rank, (WT, SZ, min(SY, Yp), min(SX, Xp), bz, by, bx))
+    return best[1]
+
+
+def _mode() -> str:
+    return os.environ.get("PARCELS_TPU_BINNED", "auto")
+
+
+def binned_enabled(shape4, gpos) -> bool:
+    """Trace-time gate for the binned path.
+
+    Requires: not disabled, slab-compatible shape, an engine-sorted particle
+    batch (otherwise every chunk overflows and the cond falls back — pure
+    overhead), and a TPU backend unless forced (tests run forced on CPU in
+    interpret mode).
+    """
+    mode = _mode()
+    if mode in ("0", "off"):
+        return False
+    if not binned_usable(shape4):
+        return False
+    if not gpos.get("_sorted", False):
+        return False
+    if mode == "force":
+        return True
+    return jax.default_backend() not in ("cpu",)
+
+
+# ---------------------------------------------------------------------------
+# sort key (used by the engine to order the SoA)
+# ---------------------------------------------------------------------------
+
+
+def _bin_coords(geom, shape4, gpos):
+    """Per-particle bin coordinates (zb, yb, xb), int32."""
+    T, Z, Y, X = shape4
+    WT, SZ, SY, SX, bz, by, bx = geom
+    zi = jnp.clip(gpos["Z"]["index"], 0, max(Z - 1, 0)).astype(jnp.int32)
+    yi = jnp.clip(gpos["Y"]["index"], 0, max(Y - 1, 0)).astype(jnp.int32)
+    xi = jnp.clip(gpos["X"]["index"], 0, max(X - 1, 0)).astype(jnp.int32)
+    return zi // bz, yi // by, xi // bx
+
+
+def sort_key_for(spec, gpos, shape4, n):
+    """int32 spatial-bin sort key matching the slab geometry.
+
+    Lexicographic (z-bin, y-bin, x-bin): x-bins of one y-row stay
+    consecutive, so sorted chunks span at most two bins wherever bins hold
+    at least ~CHUNK particles — exactly what the two-slab kernel covers.
+    """
+    geom = slab_geometry(tuple(shape4), n)
+    _, _, _, _, bz, by, bx = geom
+    T, Z, Y, X = shape4
+    nby = -(-max(Y, 1) // by)
+    nbx = -(-max(X, 1) // bx)
+    zb, yb, xb = _bin_coords(geom, shape4, gpos)
+    return ((zb * nby + yb) * nbx + xb).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# plan: per-chunk slab origins + slab-relative positions + overflow lanes
+# ---------------------------------------------------------------------------
+
+
+def _build_plan(shape4, gpos):
+    T, Z, Y, X = shape4
+    n = gpos["X"]["index"].shape[0]
+    geom = slab_geometry(tuple(shape4), n)
+    WT, SZ, SY, SX, bz, by, bx = geom
+    Tp, Zp, Yp, Xp = _padded_dims(shape4)
+
+    G = -(-n // CHUNK)
+    npad = G * CHUNK
+    pad = npad - n
+
+    def padded(a):
+        if pad == 0:
+            return a
+        return jnp.concatenate([a, jnp.broadcast_to(a[-1:], (pad,))])
+
+    zb, yb, xb = (padded(c).reshape(G, CHUNK) for c in _bin_coords(geom, shape4, gpos))
+
+    def bin_origin(b, stride, align, pdim, ext):
+        o = b * stride
+        if align > 1:
+            o = (o // align) * align
+        return jnp.clip(o, 0, max(pdim - ext, 0))
+
+    # two candidate bins per chunk: of the first and of the last lane
+    sel1 = (zb == zb[:, :1]) & (yb == yb[:, :1]) & (xb == xb[:, :1])
+    sel2 = (zb == zb[:, -1:]) & (yb == yb[:, -1:]) & (xb == xb[:, -1:])
+    overflow = ~(sel1 | sel2)
+
+    origins = {}
+    for tag, pick in (("1", lambda a: a[:, 0]), ("2", lambda a: a[:, -1])):
+        origins["z" + tag] = bin_origin(pick(zb), bz, 1, Zp, SZ)
+        origins["y" + tag] = bin_origin(pick(yb), by, 8, Yp, SY)
+        origins["x" + tag] = bin_origin(pick(xb), bx, 128, Xp, SX)
+
+    # time origin: per-chunk min (shared by both slabs)
+    tidx = gpos["T"]["index"].astype(jnp.int32)
+    tblend = 1 if T > 1 else 0
+    tci = jnp.clip(tidx, 0, max(T - 1 - tblend, 0))
+    tci_c = padded(tci).reshape(G, CHUNK)
+    t0 = jnp.clip(tci_c.min(axis=1), 0, max(T - WT, 0))
+    overflow = overflow | (tci_c + tblend > t0[:, None] + (WT - 1))
+
+    # slab-relative fractional positions (vs the particle's own slab)
+    sel1f = sel1.astype(jnp.float32)
+
+    def rel(axis, dim, o1, o2, sel):
+        idx = padded(gpos[axis]["index"].astype(jnp.int32)).reshape(G, CHUNK)
+        bc = padded(gpos[axis]["bcoord"].astype(jnp.float32)).reshape(G, CHUNK)
+        blend = 1 if dim > 1 else 0
+        ci = jnp.clip(idx, 0, max(dim - 1 - blend, 0))
+        o = jnp.where(sel, o1[:, None], o2[:, None])
+        r = (ci - o).astype(jnp.float32) + bc
+        if dim == 1:
+            r = jnp.zeros_like(r)
+        return r.reshape(npad)
+
+    relt = rel("T", T, t0, t0, sel1)
+    relz = rel("Z", Z, origins["z1"], origins["z2"], sel1)
+    rely = rel("Y", Y, origins["y1"], origins["y2"], sel1)
+    relx = rel("X", X, origins["x1"], origins["x2"], sel1)
+
+    return {
+        "G": G,
+        "npad": npad,
+        "geom": geom,
+        "pdims": (Tp, Zp, Yp, Xp),
+        "t0": t0.astype(jnp.int32),
+        "origins": {k: v.astype(jnp.int32) for k, v in origins.items()},
+        "rel": (relt, relz, rely, relx),
+        "sel1": sel1f.reshape(npad),
+        "overflow": overflow.reshape(npad)[:n],
+    }
+
+
+def _get_plan(shape4, gpos):
+    """Plan cache shared across U/V/W components sampling the same gpos."""
+    cache = gpos.setdefault("_binned_plans", {})
+    key = shape4
+    if key not in cache:
+        cache[key] = _build_plan(shape4, gpos)
+    return cache[key]
+
+
+# ---------------------------------------------------------------------------
+# the Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _hat(delta):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(delta))
+
+
+def _slab_kernel(
+    t0r, z1r, y1r, x1r, z2r, y2r, x2r, data_ref, pt, pz, py, px, s1, out, slab, sem, *, exts
+):
+    WT, SZ, SY, SX = exts
+    R = WT * SZ * SY
+    g = pl.program_id(0)
+    nprog = pl.num_programs(0)
+    slot = jax.lax.rem(g, 2)
+    nslot = jax.lax.rem(g + 1, 2)
+
+    def dma_for(gi, s, half):
+        zr, yr, xr = (z1r, y1r, x1r) if half == 0 else (z2r, y2r, x2r)
+        # origins are pre-aligned to the (8, 128) HBM tiling by the plan;
+        # multiple_of lets Mosaic prove the sliced DMA is tile-aligned
+        return pltpu.make_async_copy(
+            data_ref.at[
+                pl.ds(t0r[gi], WT),
+                pl.ds(zr[gi], SZ),
+                pl.ds(pl.multiple_of(yr[gi], 8), SY),
+                pl.ds(pl.multiple_of(xr[gi], 128), SX),
+            ],
+            slab.at[s, half],
+            sem.at[s, half],
+        )
+
+    @pl.when(g == 0)
+    def _():
+        dma_for(0, 0, 0).start()
+        dma_for(0, 0, 1).start()
+
+    @pl.when(g + 1 < nprog)
+    def _():
+        dma_for(g + 1, nslot, 0).start()
+        dma_for(g + 1, nslot, 1).start()
+
+    dma_for(g, slot, 0).wait()
+    dma_for(g, slot, 1).wait()
+
+    # particle-as-lane orientation throughout: positions are (1, CHUNK) rows,
+    # weights (rc, CHUNK), acc (SX, CHUNK) — a (n, 1) layout would be padded
+    # 128x by the (8, 128) tiling (measured: 4.7 GB per 10M-particle input)
+    pt, pz, py, px, s1 = (r[0] for r in (pt, pz, py, px, s1))  # (1, CHUNK)
+    fold = slab[slot].reshape(2 * R, SX)
+    acc = jnp.zeros((SX, CHUNK), jnp.float32)
+    for r0 in range(0, 2 * R, _ROW_BLOCK):
+        rc = min(_ROW_BLOCK, 2 * R - r0)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (rc, 1), 0) + r0
+        half = (rr // R).astype(jnp.float32)  # 0 -> slab1 rows, 1 -> slab2 rows
+        rr = rr % R
+        t_of_r = (rr // (SZ * SY)).astype(jnp.float32)
+        z_of_r = ((rr // SY) % SZ).astype(jnp.float32)
+        y_of_r = (rr % SY).astype(jnp.float32)
+        sel = half * (1.0 - s1) + (1.0 - half) * s1  # row-half selector
+        w = sel * _hat(t_of_r - pt) * _hat(z_of_r - pz) * _hat(y_of_r - py)
+        # HIGHEST: full-f32 MXU passes — default bf16 costs ~4e-3 relative
+        # error, far beyond the gather path the result must agree with
+        acc = acc + jax.lax.dot_general(
+            fold[r0 : r0 + rc, :],
+            w,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    cols = jax.lax.broadcasted_iota(jnp.int32, (SX, 1), 0).astype(jnp.float32)
+    wx = _hat(cols - px)
+    out[0] = jnp.sum(acc * wx, axis=0, keepdims=True)
+
+
+def _run_kernel(data, plan):
+    WT, SZ, SY, SX = plan["geom"][:4]
+    G = plan["G"]
+    npad = plan["npad"]
+    R = WT * SZ * SY
+    # pad Y/X up to the HBM tiling so aligned slab origins always fit; the
+    # pad is loop-invariant so XLA hoists it out of the engine while-loop
+    T, Z, Yp, Xp = plan["pdims"]
+    dy, dx = Yp - data.shape[2], Xp - data.shape[3]
+    if dy or dx:
+        data = jnp.pad(data, ((0, 0), (0, 0), (0, dy), (0, dx)))
+    o = plan["origins"]
+    prefetch = (plan["t0"], o["z1"], o["y1"], o["x1"], o["z2"], o["y2"], o["x2"])
+    # (G, 1, CHUNK) with block (1, 1, CHUNK): the block's trailing dims match
+    # the array's, satisfying Mosaic's (8, 128)-divisibility rule for blocks
+    pt, pz, py, px = (p.reshape(G, 1, CHUNK) for p in plan["rel"])
+    s1 = plan["sel1"].reshape(G, 1, CHUNK)
+
+    pos_spec = pl.BlockSpec((1, 1, CHUNK), lambda g, *refs: (g, 0, 0), memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # field stays in HBM; slabs DMA'd
+            pos_spec,
+            pos_spec,
+            pos_spec,
+            pos_spec,
+            pos_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, CHUNK), lambda g, *refs: (g, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, WT, SZ, SY, SX), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    interpret = jax.default_backend() in ("cpu",)
+    out = pl.pallas_call(
+        functools.partial(_slab_kernel, exts=plan["geom"][:4]),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G, 1, CHUNK), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * npad * 2 * R * SX,
+            bytes_accessed=G * (2 * WT * SZ * SY * SX * 4) + npad * 24,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*prefetch, jnp.asarray(data, jnp.float32), pt, pz, py, px, s1)
+    return out.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# overflow correction (compacted gather) + public entry
+# ---------------------------------------------------------------------------
+
+
+def _axis_pairs(idx, bc, dim):
+    """[(clipped_index, weight), ...] per-axis blend levels (reference XLinear)."""
+    if dim == 1:
+        return [(jnp.zeros_like(idx), None)]
+    i0 = jnp.clip(idx, 0, dim - 1)
+    i1 = jnp.clip(idx + 1, 0, dim - 1)
+    return [(i0, 1.0 - bc), (i1, bc)]
+
+
+def _gather16(data, gidx):
+    """Plain multilinear gather for the selected lanes (overflow fix-up)."""
+    T, Z, Y, X = data.shape
+    flat = data.reshape(-1)
+    val = None
+    for ti, wt in _axis_pairs(*gidx["T"], T):
+        for zi, wz in _axis_pairs(*gidx["Z"], Z):
+            for yi, wy in _axis_pairs(*gidx["Y"], Y):
+                for xi, wx in _axis_pairs(*gidx["X"], X):
+                    lin = ((ti * Z + zi) * Y + yi) * X + xi
+                    v = jnp.take(flat, lin, mode="clip")
+                    for w in (wt, wz, wy, wx):
+                        if w is not None:
+                            v = v * w
+                    val = v if val is None else val + v
+    return val
+
+
+def binned_linear_sample(data, gpos):
+    """Multilinear sample of a (T, Z, Y, X) field via sorted-chunk slabs.
+
+    Returns per-particle values in the input lane order. Values for lanes
+    with out-of-bounds sentinel indices are arbitrary — the caller masks
+    them (field.py `_mask_oob_values`), identical to the gather path.
+    """
+    data = jnp.asarray(data)
+    shape4 = data.shape
+    plan = _get_plan(shape4, gpos)
+    n = gpos["X"]["index"].shape[0]
+
+    vals = _run_kernel(data, plan)[:n]
+
+    ov = plan["overflow"]
+    count = jnp.sum(ov.astype(jnp.int32))
+    # tiered capacity: the steady engine-sorted state has near-zero overflow,
+    # so the common tier must be cheap — a fixed n/8 gather would cost more
+    # than the kernel itself (measured: 44 ms at n=2M)
+    K_small = min(n, max(4096, n // 128))
+    K_big = min(n, max(4096, n // 8))
+
+    def fixup_k(K):
+        def fixup(vals):
+            (idx,) = jnp.nonzero(ov, size=K, fill_value=0)
+            gidx = {
+                ax: (
+                    jnp.take(gpos[ax]["index"].astype(jnp.int32), idx),
+                    jnp.take(gpos[ax]["bcoord"].astype(jnp.float32), idx),
+                )
+                for ax in "TZYX"
+            }
+            return vals.at[idx].set(_gather16(data, gidx))
+
+        return fixup
+
+    def full(vals):
+        gidx = {
+            ax: (gpos[ax]["index"].astype(jnp.int32), gpos[ax]["bcoord"].astype(jnp.float32))
+            for ax in "TZYX"
+        }
+        return _gather16(data, gidx)
+
+    def big_or_full(vals):
+        return jax.lax.cond(count <= K_big, fixup_k(K_big), full, vals)
+
+    return jax.lax.cond(count <= K_small, fixup_k(K_small), big_or_full, vals)

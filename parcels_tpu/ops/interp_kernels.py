@@ -78,23 +78,28 @@ def _hat(delta):
 
 
 def _sample_kernel(f2_ref, pt_ref, pz_ref, py_ref, px_ref, out_ref, *, Z, Y):
-    """One program: _P particles against the VMEM-resident folded window."""
+    """One program: _P particles against the VMEM-resident folded window.
+
+    Particle-as-lane orientation: positions are (1, _P) rows, weights
+    (rc, _P), accumulator (Xp, _P) — a (n, 1) input layout would be padded
+    128x in HBM by the (8, 128) tiling.
+    """
     Rp = f2_ref.shape[0]
     Xp = f2_ref.shape[1]
 
-    post = pt_ref[:]  # (P, 1); broadcasts against (P, rc) weight tiles
-    posz = pz_ref[:]
-    posy = py_ref[:]
-    posx = px_ref[:]
+    post = pt_ref[0]  # (1, P); broadcasts against (rc, P) weight tiles
+    posz = pz_ref[0]
+    posy = py_ref[0]
+    posx = px_ref[0]
 
     zy = float(Z * Y)
     yf = float(Y)
 
-    g = jnp.zeros((_P, Xp), dtype=jnp.float32)
+    g = jnp.zeros((Xp, _P), dtype=jnp.float32)
     for r0 in range(0, Rp, _RC):
         rc = min(_RC, Rp - r0)
-        # iota-derived (t, z, y) coordinates per folded row, shape (_P, rc)
-        r = jax.lax.broadcasted_iota(jnp.int32, (_P, rc), 1).astype(jnp.float32) + float(r0)
+        # iota-derived (t, z, y) coordinates per folded row, shape (rc, 1)
+        r = jax.lax.broadcasted_iota(jnp.int32, (rc, 1), 0).astype(jnp.float32) + float(r0)
         t_of_r = jnp.floor(r / zy)
         rem = r - t_of_r * zy
         z_of_r = jnp.floor(rem / yf)
@@ -104,37 +109,38 @@ def _sample_kernel(f2_ref, pt_ref, pz_ref, py_ref, px_ref, out_ref, *, Z, Y):
         w = w * _hat(z_of_r - posz)
         w = w * _hat(y_of_r - posy)
 
-        g = g + jnp.dot(
-            w,
+        g = g + jax.lax.dot_general(
             f2_ref[pl.ds(r0, rc), :],
+            w,
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
 
-    c = jax.lax.broadcasted_iota(jnp.int32, (_P, Xp), 1).astype(jnp.float32)
+    c = jax.lax.broadcasted_iota(jnp.int32, (Xp, 1), 0).astype(jnp.float32)
     wx = _hat(c - posx)
-    out_ref[:] = jnp.sum(g * wx, axis=1, keepdims=True)
+    out_ref[0] = jnp.sum(g * wx, axis=0, keepdims=True)
 
 
 def _pallas_sample(f2, post, posz, posy, posx, Z, Y):
     n = post.shape[0]
     npad = -(-n // _P) * _P
     pad = npad - n
+    G = npad // _P
 
     def prep(p):
         p = jnp.asarray(p, jnp.float32)
         if pad:
             p = jnp.concatenate([p, jnp.full((pad,), -10.0, jnp.float32)])
-        return p.reshape(-1, 1)
+        return p.reshape(G, 1, _P)
 
     pt, pz, py, px = prep(post), prep(posz), prep(posy), prep(posx)
-    grid = (npad // _P,)
     Rp, Xp = f2.shape
 
-    pos_spec = pl.BlockSpec((_P, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    pos_spec = pl.BlockSpec((1, 1, _P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_sample_kernel, Z=Z, Y=Y),
-        grid=grid,
+        grid=(G,),
         in_specs=[
             pl.BlockSpec((Rp, Xp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pos_spec,
@@ -142,8 +148,8 @@ def _pallas_sample(f2, post, posz, posy, posx, Z, Y):
             pos_spec,
             pos_spec,
         ],
-        out_specs=pl.BlockSpec((_P, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((npad, 1), jnp.float32),
+        out_specs=pl.BlockSpec((1, 1, _P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, 1, _P), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * npad * Rp * Xp, bytes_accessed=npad * 24 + Rp * Xp * 4, transcendentals=0
         ),

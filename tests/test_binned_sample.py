@@ -1,0 +1,250 @@
+"""Binned slab sampler (ops/binned_sample.py) + engine sorted-chunk mode.
+
+Runs on the CPU test mesh: the Pallas kernel executes in interpret mode,
+activated via PARCELS_TPU_BINNED=force / PARCELS_TPU_SORT_MODE=force.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from parcels_tpu.ops import binned_sample as bs
+
+
+def _ref_multilinear(data, pos):
+    """NumPy reference: per-axis linear blend with clipped upper index."""
+    T, Z, Y, X = data.shape
+    out = np.zeros(pos["T"][0].shape, np.float64)
+    flat = np.asarray(data, np.float64).reshape(-1)
+
+    def levels(idx, bc, dim):
+        if dim == 1:
+            return [(np.zeros_like(idx), 1.0)]
+        i0 = np.clip(idx, 0, dim - 1)
+        i1 = np.clip(idx + 1, 0, dim - 1)
+        return [(i0, 1.0 - bc), (i1, bc)]
+
+    for ti, wt in levels(*pos["T"], T):
+        for zi, wz in levels(*pos["Z"], Z):
+            for yi, wy in levels(*pos["Y"], Y):
+                for xi, wx in levels(*pos["X"], X):
+                    lin = ((ti * Z + zi) * Y + yi) * X + xi
+                    out = out + wt * wz * wy * wx * flat[lin]
+    return out
+
+
+def _make_gpos(pos, sorted_flag=True):
+    gpos = {
+        ax: {"index": jnp.asarray(idx, jnp.int32), "bcoord": jnp.asarray(bc, jnp.float32)}
+        for ax, (idx, bc) in pos.items()
+    }
+    gpos["_sorted"] = sorted_flag
+    return gpos
+
+
+def _random_positions(rng, n, shape4, spread=None):
+    """Positions grouped by spatial tile (mimics the engine-sorted SoA)."""
+    T, Z, Y, X = shape4
+    pos = {}
+    for ax, dim in zip("TZYX", shape4):
+        hi = max(dim - 1, 1)
+        idx = rng.integers(0, hi, n)
+        bc = rng.uniform(0, 1, n).astype(np.float32)
+        if dim == 1:
+            idx = np.zeros(n, np.int64)
+            bc = np.zeros(n, np.float32)
+        pos[ax] = (idx, bc)
+    return pos
+
+
+def _sort_positions(pos, shape4, n=None):
+    T, Z, Y, X = shape4
+    n = n if n is not None else len(pos["X"][0])
+    _, _, _, _, bz, by, bx = bs.slab_geometry(shape4, n)
+    zi, yi, xi = pos["Z"][0], pos["Y"][0], pos["X"][0]
+    key = ((zi // bz) * (-(-Y // by)) + yi // by) * (-(-X // bx)) + xi // bx
+    order = np.argsort(key, kind="stable")
+    return {ax: (idx[order], bc[order]) for ax, (idx, bc) in pos.items()}
+
+
+@pytest.fixture(autouse=True)
+def _force_binned(monkeypatch):
+    monkeypatch.setenv("PARCELS_TPU_BINNED", "force")
+
+
+@pytest.mark.parametrize(
+    "shape4",
+    [
+        (2, 4, 16, 256),  # single slab covers the whole field
+        (3, 1, 32, 384),  # 2-D surface field, multiple tiles
+        (2, 8, 40, 512),  # 3-D, multiple z buckets
+        (1, 1, 16, 256),  # steady 2-D
+    ],
+)
+def test_binned_matches_reference_sorted(shape4):
+    rng = np.random.default_rng(3)
+    data = rng.uniform(-1, 1, shape4).astype(np.float32)
+    n = 3000
+    pos = _sort_positions(_random_positions(rng, n, shape4), shape4)
+    vals = np.asarray(bs.binned_linear_sample(jnp.asarray(data), _make_gpos(pos)))
+    expect = _ref_multilinear(data, pos)
+    np.testing.assert_allclose(vals, expect, rtol=2e-4, atol=2e-5)
+
+
+def test_binned_unsorted_falls_back_correctly():
+    """Unsorted lanes overflow massively -> full-gather cond; still exact."""
+    shape4 = (2, 6, 48, 640)
+    rng = np.random.default_rng(5)
+    data = rng.uniform(-1, 1, shape4).astype(np.float32)
+    n = 4096
+    pos = _random_positions(rng, n, shape4)  # NOT sorted
+    vals = np.asarray(bs.binned_linear_sample(jnp.asarray(data), _make_gpos(pos)))
+    expect = _ref_multilinear(data, pos)
+    np.testing.assert_allclose(vals, expect, rtol=2e-4, atol=2e-5)
+
+
+def test_binned_partial_overflow_fixup():
+    """A few out-of-slab lanes inside otherwise-sorted chunks hit the K-capacity fix-up."""
+    shape4 = (2, 1, 64, 1024)
+    rng = np.random.default_rng(7)
+    data = rng.uniform(-1, 1, shape4).astype(np.float32)
+    n = 6000
+    pos = _sort_positions(_random_positions(rng, n, shape4), shape4)
+    # scatter 50 lanes to random far-away cells (stale/just-migrated particles)
+    lanes = rng.choice(n, 50, replace=False)
+    pos["Y"][0][lanes] = rng.integers(0, 63, 50)
+    pos["X"][0][lanes] = rng.integers(0, 1023, 50)
+    vals = np.asarray(bs.binned_linear_sample(jnp.asarray(data), _make_gpos(pos)))
+    expect = _ref_multilinear(data, pos)
+    np.testing.assert_allclose(vals, expect, rtol=2e-4, atol=2e-5)
+
+
+def test_sort_key_groups_bins():
+    from parcels_tpu._core.grid import GridSpec
+
+    spec = GridSpec(
+        axes=("Z", "Y", "X"),
+        curvilinear=False,
+        spherical=False,
+        deg2m=1.0,
+        xdim=512,
+        ydim=64,
+        zdim=10,
+        lon_uniform=None,
+        lat_uniform=None,
+        depth_uniform=None,
+        time_uniform=None,
+    )
+    shape4 = (2, 10, 64, 512)
+    n = 100_000
+    _, _, _, _, bz, by, bx = bs.slab_geometry(shape4, n)
+    gpos = {
+        "Z": {"index": jnp.asarray([0, 0, bz * 3])},
+        "Y": {"index": jnp.asarray([0, by - 1, by])},
+        "X": {"index": jnp.asarray([0, bx - 1, bx])},
+    }
+    key = np.asarray(bs.sort_key_for(spec, gpos, shape4, n))
+    assert key[0] == key[1]  # same (z, y, x) bin
+    assert key[2] != key[0]
+
+
+def test_slab_geometry_properties():
+    """Stencil containment: slab covers its bin + 1 cell + alignment slack."""
+    for shape4, n in [((2, 50, 500, 500), 2_000_000), ((3, 1, 3000, 4000), 10_000_000),
+                      ((1, 1, 16, 256), 1000)]:
+        WT, SZ, SY, SX, bz, by, bx = bs.slab_geometry(shape4, n)
+        T, Z, Y, X = shape4
+        assert WT == (1 if T == 1 else 2)
+        assert by + 9 <= SY  # 7 align slack + bin + stencil
+        assert bx + 129 <= SX
+        if Z > 1:
+            assert bz + 1 <= SZ
+        assert SY % 8 == 0 and SX % 128 == 0
+
+
+# ---------------------------------------------------------------------------
+# engine sorted-chunk mode
+# ---------------------------------------------------------------------------
+
+
+def _large_uniform_fieldset(u=0.3, v=0.2, shape=(3, 1, 64, 2048)):
+    from parcels_tpu import FieldSet
+    from parcels_tpu.datasets import simple_UV_dataset
+
+    ds = simple_UV_dataset(dims=shape, mesh="flat")
+    ds["U"].values[:] = u
+    ds["V"].values[:] = v
+    return FieldSet.from_sgrid_conventions(ds, mesh="flat")
+
+
+def test_soa_permute_roundtrip():
+    import jax
+
+    from parcels_tpu._core.engine import _permute_soa
+
+    n = 37
+    rng = np.random.default_rng(0)
+    pd = {
+        "x": jnp.asarray(rng.uniform(size=n), jnp.float32),
+        "state": jnp.asarray(rng.integers(0, 5, n), jnp.int32),
+        "_active": jnp.asarray(rng.integers(0, 2, n).astype(bool)),
+        "ei": jnp.asarray(rng.integers(0, 9, (n, 2)), jnp.int32),
+        "_rng": jnp.asarray([1, 2], jnp.uint32),
+    }
+    order = jnp.asarray(rng.permutation(n), jnp.int32)
+    out = jax.jit(_permute_soa)(pd, order)
+    onp = np.asarray(order)
+    np.testing.assert_array_equal(np.asarray(out["x"]), np.asarray(pd["x"])[onp])
+    np.testing.assert_array_equal(np.asarray(out["state"]), np.asarray(pd["state"])[onp])
+    np.testing.assert_array_equal(np.asarray(out["_active"]), np.asarray(pd["_active"])[onp])
+    np.testing.assert_array_equal(np.asarray(out["ei"]), np.asarray(pd["ei"])[onp])
+    np.testing.assert_array_equal(np.asarray(out["_rng"]), np.asarray(pd["_rng"]))
+
+
+def test_engine_sorted_mode_matches_unsorted(monkeypatch):
+    """Full ParticleSet.execute with sort+binned forced == plain run."""
+    from parcels_tpu import ParticleSet
+    from parcels_tpu.kernels import AdvectionRK4
+
+    rng = np.random.default_rng(11)
+    n = 700
+    x = rng.uniform(1000, 24000, n)
+    y = rng.uniform(1000, 24000, n)
+
+    def run():
+        fs = _large_uniform_fieldset()
+        pset = ParticleSet(fs, x=x.copy(), y=y.copy(), t=np.zeros(n))
+        pset.execute(
+            AdvectionRK4,
+            dt=np.timedelta64(600, "s"),
+            runtime=np.timedelta64(3600, "s"),
+        )
+        return np.asarray(pset.x), np.asarray(pset.y), np.asarray(pset.particle_id)
+
+    monkeypatch.setenv("PARCELS_TPU_SORT_MODE", "off")
+    monkeypatch.setenv("PARCELS_TPU_BINNED", "off")
+    x0, y0, id0 = run()
+
+    monkeypatch.setenv("PARCELS_TPU_SORT_MODE", "force")
+    monkeypatch.setenv("PARCELS_TPU_BINNED", "force")
+    x1, y1, id1 = run()
+
+    # unsort restores lane order exactly
+    np.testing.assert_array_equal(id0, id1)
+    np.testing.assert_allclose(x1, x0, rtol=1e-6, atol=1e-3)
+    np.testing.assert_allclose(y1, y0, rtol=1e-6, atol=1e-3)
+
+
+def test_engine_sort_picks_large_field_only():
+    from parcels_tpu._core.engine import _pick_sort_field
+    from parcels_tpu.datasets import simple_UV_dataset
+    from parcels_tpu import FieldSet
+
+    # small field: VMEM fast path, no sorting
+    ds = simple_UV_dataset(dims=(2, 2, 20, 20), mesh="flat")
+    fs_small = FieldSet.from_sgrid_conventions(ds, mesh="flat")
+    assert _pick_sort_field(fs_small) is None
+
+    fs_large = _large_uniform_fieldset()
+    assert _pick_sort_field(fs_large) == "U"
