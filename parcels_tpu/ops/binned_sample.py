@@ -253,12 +253,10 @@ def _build_plan(shape4, gpos):
 
 
 def _get_plan(shape4, gpos):
-    """Plan cache shared across U/V/W components sampling the same gpos."""
-    cache = gpos.setdefault("_binned_plans", {})
-    key = shape4
-    if key not in cache:
-        cache[key] = _build_plan(shape4, gpos)
-    return cache[key]
+    """Build the plan (no Python-level cache: plans are rebuilt per component
+    inside the same jit trace and XLA CSE merges the duplicates; a cross-call
+    cache would leak tracers across lax.cond branch scopes)."""
+    return _build_plan(shape4, gpos)
 
 
 # ---------------------------------------------------------------------------
@@ -268,6 +266,26 @@ def _get_plan(shape4, gpos):
 
 def _hat(delta):
     return jnp.maximum(0.0, 1.0 - jnp.abs(delta))
+
+
+def _dot3(a, b):
+    """3-pass bf16 split-float contraction of dim 0 (~1e-5 relative).
+
+    Mosaic's pallas dot supports only DEFAULT (1-pass bf16, ~4e-3 error —
+    unusable here) and HIGHEST (6-pass); the classic hi/lo split
+    a*b ~= ah*bh + ah*bl + al*bh drops only the O(2^-16) lo*lo term and
+    costs half of HIGHEST.
+    """
+    dn = (((0,), (0,)), ((), ()))
+
+    def d(x, y):
+        return jax.lax.dot_general(x, y, dn, preferred_element_type=jnp.float32)
+
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return d(ah, bh) + (d(ah, bl) + d(al, bh))
 
 
 def _slab_kernel(
@@ -324,15 +342,7 @@ def _slab_kernel(
         y_of_r = (rr % SY).astype(jnp.float32)
         sel = half * (1.0 - s1) + (1.0 - half) * s1  # row-half selector
         w = sel * _hat(t_of_r - pt) * _hat(z_of_r - pz) * _hat(y_of_r - py)
-        # HIGHEST: full-f32 MXU passes — default bf16 costs ~4e-3 relative
-        # error, far beyond the gather path the result must agree with
-        acc = acc + jax.lax.dot_general(
-            fold[r0 : r0 + rc, :],
-            w,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        acc = acc + _dot3(fold[r0 : r0 + rc, :], w)
     cols = jax.lax.broadcasted_iota(jnp.int32, (SX, 1), 0).astype(jnp.float32)
     wx = _hat(cols - px)
     out[0] = jnp.sum(acc * wx, axis=0, keepdims=True)
@@ -429,8 +439,36 @@ def binned_linear_sample(data, gpos):
     Returns per-particle values in the input lane order. Values for lanes
     with out-of-bounds sentinel indices are arbitrary — the caller masks
     them (field.py `_mask_oob_values`), identical to the gather path.
+
+    When the whole batch shares one (ti, tau) — the engine's lockstep
+    common case — the two time levels are pre-blended into a single
+    (1, Z, Y, X) plane outside the kernel (one streaming HBM pass), halving
+    the fold rows and slab DMA of every program.
     """
     data = jnp.asarray(data)
+    T = data.shape[0]
+    if T > 1:
+        ti = gpos["T"]["index"].astype(jnp.int32)
+        tau = gpos["T"]["bcoord"].astype(jnp.float32)
+        ti0 = jnp.clip(jnp.min(ti), 0, T - 2)
+        uniform = (jnp.max(ti) == jnp.min(ti)) & (jnp.max(tau) == jnp.min(tau))
+
+        def blended(_):
+            lvl = jax.lax.dynamic_slice_in_dim(data, ti0, 2, axis=0)
+            tau0 = tau[0]
+            bl = (1.0 - tau0) * lvl[0] + tau0 * lvl[1]
+            pinned = dict(gpos)
+            pinned["T"] = {
+                "index": jnp.zeros_like(ti),
+                "bcoord": jnp.zeros_like(tau),
+            }
+            return _sample_core(bl[None], pinned)
+
+        return jax.lax.cond(uniform, blended, lambda _: _sample_core(data, gpos), None)
+    return _sample_core(data, gpos)
+
+
+def _sample_core(data, gpos):
     shape4 = data.shape
     plan = _get_plan(shape4, gpos)
     n = gpos["X"]["index"].shape[0]

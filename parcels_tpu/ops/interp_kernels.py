@@ -22,18 +22,15 @@ the weight matrices never leave VMEM. Large 3-D fields (beyond the VMEM
 budget) use the XLA 16-corner flat-gather path.
 
 Large-field measurements on v5e (shape (2,50,Y,X) ~100 MB):
-- flat 16-corner gather: 7.2 M samples/s — the current ceiling;
+- flat 16-corner gather: 7.2 M samples/s — instruction-bound;
 - strided ``lax.gather`` of (2,2,2,2) patches: 13x SLOWER (never use);
 - pre-sorting indices by cell: NO effect (7.2 M/s either way) — the TPU
   gather is instruction-bound, not locality-bound — but a device argsort of
   2M keys costs only 8 ms, so binning is affordable.
 
-Validated design for the large-field Pallas kernel (next round): sort
-particles by (zi, y_tile, x_tile); per tile, load a (W, 2z, TILE_Y+1,
-TILE_X+1) slab (~0.5 MB VMEM) and contract the binned particles' hat
-weights against the slab's ~36 folded rows on the MXU — ~9K flops/sample,
-projected ~50x over the gather path; capacity-padded bins with an overflow
-fallback to the gather path.
+Fields beyond the VMEM fold therefore take the *binned slab sampler*
+(ops/binned_sample.py): the engine sorts the SoA by spatial bin and each
+Pallas program contracts its chunk against two DMA'd bin slabs.
 """
 
 from __future__ import annotations

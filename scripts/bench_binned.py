@@ -52,9 +52,10 @@ def run_case(shape4, n, label):
     _, order = jax.lax.sort_key_val(skey.astype(jnp.int32), jnp.arange(n, dtype=jnp.int32))
     zi, yi, xi = (jnp.take(a, order) for a in (zi, yi, xi))
 
-    def mkgpos():
+    def mkgpos(lockstep_t=False):
+        tbc = jnp.full(n, 0.375, jnp.float32) if lockstep_t else bc[0]
         return {
-            "T": {"index": jnp.zeros(n, jnp.int32), "bcoord": bc[0]},
+            "T": {"index": jnp.zeros(n, jnp.int32), "bcoord": tbc},
             "Z": {"index": zi.astype(jnp.int32), "bcoord": bc[1]},
             "Y": {"index": yi.astype(jnp.int32), "bcoord": bc[2]},
             "X": {"index": xi.astype(jnp.int32), "bcoord": bc[3]},
@@ -66,7 +67,14 @@ def run_case(shape4, n, label):
         return bs.binned_linear_sample(data, mkgpos())
 
     t, vb = timed(binned, data)
-    print(f"binned slab sampler: {t*1e3:7.1f} ms -> {n/t/1e6:8.1f} M samples/s")
+    print(f"binned slab sampler: {t*1e3:7.1f} ms -> {n/t/1e6:8.1f} M samples/s", flush=True)
+
+    @jax.jit
+    def binned_lock(data):
+        return bs.binned_linear_sample(data, mkgpos(lockstep_t=True))
+
+    t, _ = timed(binned_lock, data)
+    print(f"binned (lockstep t): {t*1e3:7.1f} ms -> {n/t/1e6:8.1f} M samples/s", flush=True)
 
     @jax.jit
     def gather(data):
