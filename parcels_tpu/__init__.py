@@ -36,7 +36,7 @@ from parcels_tpu._core.statuscodes import (
     OutsideTimeInterval,
     StatusCode,
 )
-from parcels_tpu import convert, tutorial
+from parcels_tpu import convert, io, tutorial
 from parcels_tpu._core.timeutils import TimeInterval
 from parcels_tpu._core.warnings_ import (
     FieldEvalWarning,
@@ -115,6 +115,7 @@ __all__ = [
     "Variable",
     "VectorField",
     "convert",
+    "io",
     "tutorial",
     "XConstantField",
     "XFreeslip",

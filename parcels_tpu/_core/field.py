@@ -33,7 +33,8 @@ class Field:
         if not name.isidentifier():
             raise ValueError(f"Field name must be a valid identifier, got {name!r}")
         self.name = name
-        data = np.asarray(data)
+        if not getattr(data, "_parcels_lazy", False):
+            data = np.asarray(data)
         if data.ndim not in (3, 4):
             raise ValueError(
                 f"Field data must be (T, Z, Y, X) or unstructured (T, Z, N); got shape {data.shape}"

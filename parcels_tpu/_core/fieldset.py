@@ -47,12 +47,21 @@ def _transpose_to_tzyx(da: xr.DataArray, metadata: sgrid.SGrid2DMetadata) -> np.
     if len(set(axes_of_dims)) != len(axes_of_dims):
         raise ValueError(f"DataArray {da.name!r} has two dimensions on one axis.")
 
-    arr = np.asarray(da.values)
     # transpose present axes into canonical order
     present = sorted(range(len(axes_of_dims)), key=lambda i: _ORDER.index(axes_of_dims[i]))
+    present_axes = sorted(axes_of_dims, key=_ORDER.index)
+
+    if getattr(da.values, "_parcels_lazy", False):
+        # disk-backed field: record the normalization on the lazy handle so
+        # only the rolling time window is ever read (io/zarrstore.py)
+        src_shape = da.values.shape
+        shape = [src_shape[axes_of_dims.index(ax)] if ax in present_axes else 1 for ax in _ORDER]
+        t_store = axes_of_dims.index("T") if "T" in axes_of_dims else None
+        return da.values.with_tzyx(present, shape, t_store)
+
+    arr = np.asarray(da.values)
     arr = arr.transpose(present)
     # insert singleton dims for absent axes
-    present_axes = sorted(axes_of_dims, key=_ORDER.index)
     shape = []
     k = 0
     for ax in _ORDER:
@@ -249,7 +258,10 @@ class FieldSet:
         scalar_fields: dict[str, Field] = {}
         for varname in data_vars:
             arr = _transpose_to_tzyx(ds[varname], metadata)
-            arr = np.nan_to_num(arr, nan=fill_value)
+            if getattr(arr, "_parcels_lazy", False):
+                arr = arr.with_fill(fill_value)
+            else:
+                arr = np.nan_to_num(arr, nan=fill_value)
             f = Field(str(varname), arr, grid, interp_method=XLinear())
             scalar_fields[str(varname)] = f
             fs.add_field(f)
@@ -483,6 +495,12 @@ class FieldSet:
             farrays["grids"].append(grid.device_arrays(dtype))
         for name, f in self._fields.items():
             if isinstance(f, Field):
+                if getattr(f.data, "_parcels_lazy", False) and f.data.nbytes > 4 << 30:
+                    raise ValueError(
+                        f"Field {name!r} is disk-backed and {f.data.nbytes/2**30:.1f} GiB; "
+                        "call fieldset.set_time_window(nlevels) to stream it instead of "
+                        "materializing it whole."
+                    )
                 arr = jnp.asarray(f.data.astype(dtype) if f.data.dtype.kind == "f" else f.data)
                 if sharding is not None:
                     arr = jax.device_put(arr, sharding)

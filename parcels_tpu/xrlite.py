@@ -30,7 +30,9 @@ class DataArray:
             self.attrs = dict(attrs) if attrs is not None else dict(data.attrs)
             self.name = name if name is not None else data.name
             return
-        self.values = np.asarray(data)
+        # lazy disk-backed arrays (io.zarrstore.LazyZarrArray) pass through
+        # un-materialized; everything downstream duck-types on shape/dtype
+        self.values = data if getattr(data, "_parcels_lazy", False) else np.asarray(data)
         self.dims = tuple(dims) if dims is not None else tuple(f"dim_{i}" for i in range(self.values.ndim))
         if len(self.dims) != self.values.ndim:
             raise ValueError(f"dims {self.dims} do not match array with {self.values.ndim} dims")
