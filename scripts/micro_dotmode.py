@@ -28,7 +28,11 @@ def make_case(shape4, n, seed=0):
     yi = rng.integers(0, Y - 1, n)
     xi = rng.integers(0, X - 1, n)
     bc = rng.uniform(0, 1, (4, n)).astype(np.float32)
-    skey = zi * Y * X + yi * X + xi
+    # sort by the plan's bin key (lexicographic z-bin, y-bin, x-bin) — raw
+    # cell-raster order interleaves bins and overflows to the gather path
+    _, _, _, _, bz, by, bx = bs.slab_geometry(shape4, n)
+    nby, nbx = -(-Y // by), -(-X // bx)
+    skey = ((zi // bz) * nby + yi // by) * nbx + xi // bx
     order = np.argsort(skey, kind="stable")
     zi, yi, xi = zi[order], yi[order], xi[order]
     gpos = {
