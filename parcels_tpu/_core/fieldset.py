@@ -433,13 +433,10 @@ class FieldSet:
                 best = max(best, start)
         return best
 
-    def windowed_arrays(self, t_lo: float, t_hi: float) -> dict:
-        """Device pytree whose time axes cover [t_lo, t_hi] (window mode)."""
-        L = getattr(self, "_time_window", None)
-        if L is None:
-            return self.device_arrays()
+    def _window_offsets(self, t_lo: float, t_hi: float, check: bool = True) -> tuple:
+        """Per-grid first-level offsets of the window covering [t_lo, t_hi]."""
+        L = self._time_window
         t_lo, t_hi = (t_lo, t_hi) if t_lo <= t_hi else (t_hi, t_lo)
-
         offsets = []
         for grid in self._gridset:
             nt = grid.time.shape[0]
@@ -447,18 +444,18 @@ class FieldSet:
                 offsets.append(0)
                 continue
             i0 = int(np.clip(np.searchsorted(grid.time, t_lo, side="right") - 1, 0, max(nt - L, 0)))
-            if grid.time[min(i0 + L - 1, nt - 1)] < t_hi and i0 + L < nt:
+            if check and grid.time[min(i0 + L - 1, nt - 1)] < t_hi and i0 + L < nt:
                 raise ValueError(
                     f"Time window of {L} levels cannot cover [{t_lo}, {t_hi}] s "
                     f"(levels span {grid.time[i0]}..{grid.time[min(i0 + L - 1, nt - 1)]}). "
                     "Increase the window or reduce outputdt."
                 )
             offsets.append(i0)
-        key = tuple(offsets)
-        cache = getattr(self, "_window_cache", {})
-        if key in cache:
-            return cache[key]
+        return tuple(offsets)
 
+    def _build_window(self, offsets: tuple) -> dict:
+        """Load the window slabs (host reads, possibly from zarr) and ship them."""
+        L = self._time_window
         stats = getattr(self, "window_stats", {"loads": 0, "bytes_read": 0})
         farrays = {"fields": {}, "grids": []}
         for i0, grid in zip(offsets, self._gridset):
@@ -480,7 +477,51 @@ class FieldSet:
                     arr = jnp.asarray(data.astype(np.float32) if data.dtype.kind == "f" else data)
                 farrays["fields"][name] = arr
         object.__setattr__(self, "window_stats", stats)
-        # keep only the current window resident (plus the one being built)
+        return farrays
+
+    def prefetch_window(self, t_anchor: float) -> None:
+        """Stage the window anchored at ``t_anchor`` on a background thread.
+
+        Called by the execute loop right after dispatching a chunk, so the
+        next window's disk reads + host->device transfer overlap the chunk's
+        device compute (SURVEY §7 M3: double-buffered async time-level
+        prefetch). A mispredicted anchor is harmless — `windowed_arrays`
+        falls back to a synchronous load.
+        """
+        if self._time_window is None:
+            return
+        key = self._window_offsets(t_anchor, t_anchor, check=False)
+        cache = getattr(self, "_window_cache", {})
+        futures = getattr(self, "_window_futures", None)
+        if key in cache or (futures is not None and key in futures):
+            return
+        if futures is None:
+            futures = {}
+            object.__setattr__(self, "_window_futures", futures)
+        # bound mispredicted windows: drop finished futures nobody consumed
+        if len(futures) >= 2:
+            for k in [k for k, f in futures.items() if f.done()]:
+                futures.pop(k)
+        pool = getattr(self, "_window_pool", None)
+        if pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="parcels-window")
+            object.__setattr__(self, "_window_pool", pool)
+        futures[key] = pool.submit(self._build_window, key)
+
+    def windowed_arrays(self, t_lo: float, t_hi: float) -> dict:
+        """Device pytree whose time axes cover [t_lo, t_hi] (window mode)."""
+        if self._time_window is None:
+            return self.device_arrays()
+        key = self._window_offsets(t_lo, t_hi)
+        cache = getattr(self, "_window_cache", {})
+        futures = getattr(self, "_window_futures", {}) or {}
+        if key not in cache:
+            fut = futures.pop(key, None)
+            cache[key] = fut.result() if fut is not None else self._build_window(key)
+        farrays = cache.pop(key)
+        # keep at most the current window + one prefetched successor resident
         cache.clear()
         cache[key] = farrays
         object.__setattr__(self, "_window_cache", cache)

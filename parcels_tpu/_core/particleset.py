@@ -365,9 +365,16 @@ class ParticleSet:
                     f = min if sign_dt > 0 else max
                     next_time = f(next_time, self.fieldset.max_window_endtime(time, sign_dt))
 
-                if self.fieldset._time_window is not None and domain is None and pmesh is None:
+                windowed = self.fieldset._time_window is not None and domain is None and pmesh is None
+                if windowed:
                     farrays = self.fieldset.windowed_arrays(time, next_time)
                 dev = executor(farrays, dev, np.float32(next_time), np.float32(dt))
+                if windowed and sign_dt * (next_time - end_time) < 0:
+                    # stage the next window while the chunk runs on device;
+                    # forward chunks anchor exactly at next_time, backward
+                    # ones at an estimate (misprediction = harmless sync load)
+                    anchor = next_time if sign_dt > 0 else next_time + (next_time - time)
+                    self.fieldset.prefetch_window(anchor)
 
                 states = np.asarray(dev["state"])
                 active = np.asarray(dev["_active"])

@@ -82,3 +82,33 @@ def test_set_time_window_validates():
     fs = FieldSet.from_sgrid_conventions(moving_eddy_dataset(), mesh="flat")
     with pytest.raises(ValueError):
         fs.set_time_window(1)
+
+
+def test_prefetch_window_stages_next_and_is_consumed():
+    """prefetch_window builds the next window on a thread; windowed_arrays
+    consumes the staged result instead of re-loading."""
+    fs = FieldSet.from_sgrid_conventions(moving_eddy_dataset(), mesh="flat")
+    fs.set_time_window(8)
+    a0 = fs.windowed_arrays(0.0, 300.0)
+    fs.prefetch_window(8 * 60.0)  # next window anchor
+    futs = fs._window_futures
+    assert len(futs) == 1
+    key = next(iter(futs))
+    futs[key].result()  # wait for the background build
+    loads_before = fs.window_stats["loads"]
+    a1 = fs.windowed_arrays(8 * 60.0, 10 * 60.0)
+    assert fs.window_stats["loads"] == loads_before  # consumed, not re-built
+    assert not fs._window_futures
+    # staged window content identical to a fresh synchronous load
+    fs2 = FieldSet.from_sgrid_conventions(moving_eddy_dataset(), mesh="flat")
+    fs2.set_time_window(8)
+    b1 = fs2.windowed_arrays(8 * 60.0, 10 * 60.0)
+    np.testing.assert_array_equal(np.asarray(a1["fields"]["U"]), np.asarray(b1["fields"]["U"]))
+
+
+def test_prefetch_mispredict_harmless():
+    fs = FieldSet.from_sgrid_conventions(moving_eddy_dataset(), mesh="flat")
+    fs.set_time_window(8)
+    fs.prefetch_window(100 * 60.0)  # way off
+    out = fs.windowed_arrays(0.0, 300.0)  # sync load still correct
+    assert np.asarray(out["fields"]["U"]).shape[0] == 8
