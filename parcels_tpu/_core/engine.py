@@ -52,10 +52,6 @@ def _pick_sort_field(fieldset):
             continue
         if fits_fast_path(cand.data.shape) or not binned_usable(cand.data.shape):
             continue
-        # curvilinear search has no O(1) cold start; sorting would pay a
-        # hash-walk per chunk — leave those to the gather path for now
-        if cand.grid.spec.curvilinear:
-            continue
         if best is None or cand.data.size > best.data.size:
             best = cand
     return best.name if best is not None else None
@@ -124,16 +120,29 @@ def _permute_soa(pdata, order):
 
 
 def _sort_soa(fsview, sort_field_name, pdata):
-    """Sort the SoA by spatial bin of the current positions; returns (pdata, order)."""
+    """Sort the SoA by the spatial bin of the cached cell index; returns (pdata, order).
+
+    The bin comes from the SoA's ``ei`` cache (updated at every field sample,
+    field.py `_update_particles_ei`) rather than a fresh grid search: zero
+    extra search cost per chunk, and it works on curvilinear grids where a
+    cold search would pay a raster-lookup + cell walk. Lanes that were never
+    sampled (ei=0) group into bin 0 and take the gather fallback for their
+    first chunk only.
+    """
     from parcels_tpu._core.field import VectorFieldView
     from parcels_tpu.ops.binned_sample import sort_key_for
 
     fv = getattr(fsview, sort_field_name)
     if isinstance(fv, VectorFieldView):
         fv = fv.U
-    gv = fv.grid
-    gpos = gv.search(pdata["z"], pdata["y"], pdata["x"])
-    key = sort_key_for(gv.spec, gpos, tuple(fv.data.shape), pdata["state"].shape[0])
+    spec = fv.grid.spec
+    ydim, xdim = max(spec.ydim, 1), max(spec.xdim, 1)
+    ei = pdata["ei"][:, fv.igrid].astype(jnp.int32)
+    xi = ei % xdim
+    yi = (ei // xdim) % ydim
+    zi = ei // (xdim * ydim)
+    gpos = {"Z": {"index": zi}, "Y": {"index": yi}, "X": {"index": xi}}
+    key = sort_key_for(spec, gpos, tuple(fv.data.shape), pdata["state"].shape[0])
     n = key.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
     # inactive lanes sort to the end (their positions may be stale)

@@ -261,3 +261,46 @@ def test_engine_sort_picks_large_field_only():
 
     fs_large = _large_uniform_fieldset()
     assert _pick_sort_field(fs_large) == "U"
+
+
+def test_engine_sorted_mode_curvilinear(monkeypatch):
+    """ei-derived sort keys enable binned+sorted mode on curvilinear grids;
+    trajectories must match the unsorted gather run (uniform eastward flow
+    on a rotated grid has a closed form, so both must be right AND equal)."""
+    from parcels_tpu import FieldSet, ParticleSet
+    from parcels_tpu.datasets import curvilinear_rotated_dataset
+    from parcels_tpu.kernels import AdvectionRK4
+
+    rng = np.random.default_rng(5)
+    n = 400
+    # interior seeding in rotated-grid coordinates
+    th = np.deg2rad(30.0)
+    sx = rng.uniform(5e3, 1.9e6, n)
+    sy = rng.uniform(5e3, 5.5e4, n)
+    x = np.cos(th) * sx - np.sin(th) * sy
+    y = np.sin(th) * sx + np.cos(th) * sy
+
+    def run():
+        ds = curvilinear_rotated_dataset(xdim=2048, ydim=64)
+        fs = FieldSet.from_sgrid_conventions(ds, mesh="flat")
+        pset = ParticleSet(fs, x=x.copy(), y=y.copy(), t=np.zeros(n))
+        pset.execute(
+            AdvectionRK4,
+            dt=np.timedelta64(600, "s"),
+            runtime=np.timedelta64(3600, "s"),
+        )
+        return np.asarray(pset.x), np.asarray(pset.y)
+
+    monkeypatch.setenv("PARCELS_TPU_SORT_MODE", "off")
+    monkeypatch.setenv("PARCELS_TPU_BINNED", "off")
+    x0, y0 = run()
+    # closed form: U is the *zonal* (global-x) velocity, independent of the
+    # grid's rotation — uniform U=1 m/s moves particles due east
+    np.testing.assert_allclose(x0, x + 3600.0, rtol=1e-5, atol=1e-2)
+    np.testing.assert_allclose(y0, y, rtol=1e-5, atol=1e-2)
+
+    monkeypatch.setenv("PARCELS_TPU_SORT_MODE", "force")
+    monkeypatch.setenv("PARCELS_TPU_BINNED", "force")
+    x1, y1 = run()
+    np.testing.assert_allclose(x1, x0, rtol=2e-5, atol=1e-2)
+    np.testing.assert_allclose(y1, y0, rtol=2e-5, atol=1e-2)
