@@ -303,12 +303,7 @@ class ParticleSet:
         rk45_mode = "RK45_tol" in self.fieldset.context
         pmesh = getattr(self, "_pmesh", None)
         domain = getattr(self, "_domain", None)
-        if self.fieldset._time_window is not None and (pmesh is not None or domain is not None):
-            raise NotImplementedError(
-                "Time-windowed streaming is not yet supported together with "
-                "sharded execution (ParticleMesh/YBandDomain); drop "
-                "set_time_window or run single-device."
-            )
+        windowed = self.fieldset._time_window is not None
         if domain is not None:
             from parcels_tpu.parallel.domain import build_domain_executor
 
@@ -319,21 +314,18 @@ class ParticleSet:
                     tuple(kernels), domain, sign_dt=sign_dt, rk45_mode=rk45_mode
                 )
             executor = cache[key]
-            farrays = domain.stacked_farrays()
+            farrays = None if windowed else domain.stacked_farrays()
             dev = domain.shard_soa(self._data)
         elif pmesh is not None:
             executor = self._get_executor(tuple(kernels), sign_dt, rk45_mode, blocked=False)
-            farrays = pmesh.shard_fields(self.fieldset.device_arrays())
+            farrays = None if windowed else pmesh.shard_fields(self.fieldset.device_arrays())
             dev = pmesh.shard_soa(self._data)
         else:
             executor = self._get_executor(tuple(kernels), sign_dt, rk45_mode, blocked=True)
             from parcels_tpu._core.engine import DEFAULT_BLOCK_SIZE
 
             self._pad_capacity(DEFAULT_BLOCK_SIZE)
-            if self.fieldset._time_window is not None:
-                farrays = None  # shipped per-chunk by windowed_arrays below
-            else:
-                farrays = self.fieldset.device_arrays()
+            farrays = None if windowed else self.fieldset.device_arrays()
             dev = {k: jnp.asarray(v) for k, v in self._data.items()}
 
         if output_file is not None:
@@ -361,20 +353,24 @@ class ParticleSet:
                     next_time = f(next_output, end_time)
                 else:
                     next_time = end_time
-                if self.fieldset._time_window is not None:
+                if windowed:
                     f = min if sign_dt > 0 else max
                     next_time = f(next_time, self.fieldset.max_window_endtime(time, sign_dt))
-
-                windowed = self.fieldset._time_window is not None and domain is None and pmesh is None
-                if windowed:
-                    farrays = self.fieldset.windowed_arrays(time, next_time)
+                    if domain is not None:
+                        farrays = domain.stacked_windowed(time, next_time)
+                    elif pmesh is not None:
+                        farrays = pmesh.shard_fields(
+                            self.fieldset.windowed_arrays(time, next_time)
+                        )
+                    else:
+                        farrays = self.fieldset.windowed_arrays(time, next_time)
                 dev = executor(farrays, dev, np.float32(next_time), np.float32(dt))
                 if windowed and sign_dt * (next_time - end_time) < 0:
                     # stage the next window while the chunk runs on device;
                     # forward chunks anchor exactly at next_time, backward
                     # ones at an estimate (misprediction = harmless sync load)
                     anchor = next_time if sign_dt > 0 else next_time + (next_time - time)
-                    self.fieldset.prefetch_window(anchor)
+                    (domain or self.fieldset).prefetch_window(anchor)
 
                 states = np.asarray(dev["state"])
                 active = np.asarray(dev["_active"])

@@ -94,6 +94,9 @@ class YBandDomain:
         self.migration_capacity = migration_capacity
         self.fieldset = fieldset
         self._stacked_cache = None
+        self._window_cache: dict = {}
+        self._window_futures: dict = {}
+        self._window_pool = None
 
         h, n = self.halo, self.n
         self._grid_plans: list[dict] = []
@@ -166,15 +169,32 @@ class YBandDomain:
         """Per-band field/grid slabs stacked on a leading device axis, sharded."""
         if self._stacked_cache is not None:
             return self._stacked_cache
+        self._stacked_cache = self._build_stacked(None)
+        return self._stacked_cache
+
+    def _build_stacked(self, offsets: tuple | None) -> dict:
+        """Banded device pytree; ``offsets`` selects a time window (None=full).
+
+        With offsets, each field ships only ``fieldset._time_window`` levels
+        (sliced *before* halo extension, so lazy zarr-backed fields read just
+        the window from disk) — the domain-decomposed equivalent of
+        FieldSet._build_window.
+        """
         n, h = self.n, self.halo
+        L = self.fieldset._time_window if offsets is not None else None
+        stats = getattr(self.fieldset, "window_stats", None)
         out = {"fields": {}, "grids": []}
-        for plan in self._grid_plans:
+        for i, plan in enumerate(self._grid_plans):
             grid = plan["grid"]
             garrs = {k: np.asarray(v) for k, v in grid.device_arrays().items()}
+            if offsets is not None and grid.time.shape[0] > 1:
+                i0 = offsets[i]
+                garrs["time"] = grid.time[i0 : i0 + L].astype(np.float32)
             if plan["banded"]:
                 garrs["lat"] = plan["lat_slabs"]
-                for k in ("lon", "depth", "time"):
-                    garrs[k] = np.broadcast_to(garrs[k], (n,) + garrs[k].shape)
+                for k in list(garrs):
+                    if k != "lat":
+                        garrs[k] = np.broadcast_to(garrs[k], (n,) + garrs[k].shape)
                 garrs.pop("lookup_yi", None)
                 garrs.pop("lookup_xi", None)
             else:
@@ -188,7 +208,14 @@ class YBandDomain:
             if not isinstance(f, Field):
                 continue
             plan = self._grid_plans[f.igrid]
-            data = np.asarray(f.data, dtype=np.float32)
+            if offsets is not None and f.data.shape[0] > 1:
+                i0 = offsets[f.igrid]
+                data = np.ascontiguousarray(f.data[i0 : i0 + L]).astype(np.float32, copy=False)
+                if stats is not None:
+                    stats["loads"] += 1
+                    stats["bytes_read"] += data.nbytes
+            else:
+                data = np.asarray(f.data, dtype=np.float32)
             if plan["banded"]:
                 ps, pn = plan["pad_south"], plan["pad_north"]
                 ext = np.concatenate(
@@ -213,8 +240,55 @@ class YBandDomain:
         out["band_hi"] = jax.device_put(
             jnp.asarray(self.band_hi, dtype=jnp.float32), self._sharding(1)
         )
-        self._stacked_cache = out
         return out
+
+    def _ensure_windowed_specs(self):
+        """Banded specs snapshot the grid spec at construction; windowed time
+        values invalidate the uniform-time fast path exactly as
+        FieldSet.set_time_window does for the original grids."""
+        for plan in self._grid_plans:
+            if (
+                plan["banded"]
+                and plan["spec"].time_uniform is not None
+                and plan["grid"].time.shape[0] > 1
+            ):
+                plan["spec"] = dataclasses.replace(plan["spec"], time_uniform=None)
+
+    # -- rolling time-window streaming (banded twin of FieldSet.windowed_arrays)
+    def stacked_windowed(self, t_lo: float, t_hi: float) -> dict:
+        """Banded device pytree whose time axes cover [t_lo, t_hi]."""
+        if self.fieldset._time_window is None:
+            return self.stacked_farrays()
+        self._ensure_windowed_specs()
+        key = self.fieldset._window_offsets(t_lo, t_hi)
+        cache = self._window_cache
+        futures = self._window_futures
+        if key not in cache:
+            fut = futures.pop(key, None)
+            cache[key] = fut.result() if fut is not None else self._build_stacked(key)
+        farrays = cache.pop(key)
+        cache.clear()
+        cache[key] = farrays
+        return farrays
+
+    def prefetch_window(self, t_anchor: float) -> None:
+        """Stage the banded window anchored at ``t_anchor`` on a thread."""
+        if self.fieldset._time_window is None:
+            return
+        self._ensure_windowed_specs()
+        key = self.fieldset._window_offsets(t_anchor, t_anchor, check=False)
+        if key in self._window_cache or key in self._window_futures:
+            return
+        if len(self._window_futures) >= 2:
+            for k in [k for k, f in self._window_futures.items() if f.done()]:
+                self._window_futures.pop(k)
+        if self._window_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._window_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="parcels-band-window"
+            )
+        self._window_futures[key] = self._window_pool.submit(self._build_stacked, key)
 
     def build_views(self, farrays_local: dict) -> FieldSetView:
         """Local FieldSetView inside one shard (mirrors FieldSet.build_views)."""

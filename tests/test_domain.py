@@ -119,3 +119,54 @@ def test_band_assignment():
     assert np.all(np.diff(bands) >= 0)
     # band edges cover the domain monotonically
     assert np.all(np.diff(dom._interior_edges) > 0)
+
+
+def test_windowed_domain_matches_resident():
+    """Windowed streaming + Y-band decomposition: trajectories match the
+    resident-in-full banded run, and only window-sized slabs are read."""
+    dims = (40, 2, 32, 32)  # 40 time levels
+    fs_res = _uniform_flow_fieldset(3.0, 10.0, dims=dims)
+    fs_win = _uniform_flow_fieldset(3.0, 10.0, dims=dims)
+    fs_win.set_time_window(6)
+
+    rng = np.random.default_rng(9)
+    x = rng.uniform(-9e5, 6e5, 48)
+    y = rng.uniform(-9e5, -5e5, 48)
+
+    dom_res = YBandDomain(fs_res, n_bands=8, halo=2)
+    xr_, yr_ = _run(fs_res, x, y, AdvectionRK4, DAY, 600, domain=dom_res)
+
+    dom_win = YBandDomain(fs_win, n_bands=8, halo=2)
+    xw, yw = _run(fs_win, x, y, AdvectionRK4, DAY, 600, domain=dom_win)
+
+    np.testing.assert_allclose(xw, xr_, rtol=1e-6, atol=0.1)
+    np.testing.assert_allclose(yw, yr_, rtol=1e-6, atol=0.1)
+    stats = fs_win.window_stats
+    assert stats["loads"] >= 2  # the window advanced
+    # each load is a 6-level slab, far below the full 40-level field
+    per_load = 6 * 2 * 32 * 32 * 4
+    assert stats["bytes_read"] <= stats["loads"] * per_load
+
+
+def test_windowed_pmesh_matches_resident():
+    """Windowed streaming + replicated-field particle mesh."""
+    from parcels_tpu.parallel import ParticleMesh
+
+    dims = (40, 2, 32, 32)
+    fs_res = _uniform_flow_fieldset(3.0, 10.0, dims=dims)
+    fs_win = _uniform_flow_fieldset(3.0, 10.0, dims=dims)
+    fs_win.set_time_window(6)
+
+    rng = np.random.default_rng(10)
+    x = rng.uniform(-9e5, 6e5, 48)
+    y = rng.uniform(-9e5, -5e5, 48)
+
+    xs, ys = _run(fs_res, x, y, AdvectionRK4, DAY, 600)
+
+    pm = ParticleMesh(8)
+    pset = ParticleSet(fs_win, x=x.copy(), y=y.copy(), t=np.zeros(x.size))
+    shard_particleset(pset, pm)
+    pset.execute(AdvectionRK4, dt=np.timedelta64(600, "s"), runtime=np.timedelta64(DAY, "s"))
+    order = np.argsort(pset.particle_id)
+    np.testing.assert_allclose(pset.x[order], xs, rtol=1e-6, atol=0.1)
+    np.testing.assert_allclose(pset.y[order], ys, rtol=1e-6, atol=0.1)

@@ -57,9 +57,9 @@ def test_describe_and_repr_smoke():
     assert "XGrid(" in repr(fs.gridset[0])
 
 
-def test_windowing_with_sharding_raises():
-    import jax
-
+def test_windowing_with_particle_mesh_executes():
+    """Windowed streaming composes with sharded execution (full-equivalence
+    coverage lives in tests/test_domain.py)."""
     from parcels_tpu.kernels import AdvectionEE
     from parcels_tpu.parallel import ParticleMesh, shard_particleset
 
@@ -67,8 +67,9 @@ def test_windowing_with_sharding_raises():
     fs.set_time_window(8)
     pset = ParticleSet(fs, x=[12000.0], y=[12000.0], t=[0.0])
     shard_particleset(pset, ParticleMesh(n_devices=1))
-    with pytest.raises(NotImplementedError, match="windowed"):
-        pset.execute(AdvectionEE, dt=np.timedelta64(5, "m"), runtime=np.timedelta64(30, "m"))
+    pset.execute(AdvectionEE, dt=np.timedelta64(5, "m"), runtime=np.timedelta64(30, "m"))
+    assert pset.t[0] == 1800.0
+    assert fs.window_stats["loads"] >= 1
 
 
 def test_context_constant_readable_and_guarded():
