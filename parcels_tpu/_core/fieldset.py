@@ -199,6 +199,10 @@ class FieldSet:
             if field.grid not in self._gridset:
                 self._gridset.append(field.grid)
             field.igrid = self._gridset.index(field.grid)
+        if isinstance(field, VectorField) and isinstance(field.interp_method, CGrid_Velocity):
+            # device arrays will carry the memoized per-cell corner geometry
+            # so the hot path is a single row-gather (grid.cgrid_geometry)
+            field.grid._needs_cgrid_geom = True
         self._fields[name] = field
         self._invalidate_caches()
 

@@ -188,7 +188,52 @@ class XGrid:
         if self._lookup is not None:
             arrs["lookup_yi"] = jnp.asarray(self._lookup["yi"])
             arrs["lookup_xi"] = jnp.asarray(self._lookup["xi"])
+        if getattr(self, "_needs_cgrid_geom", False) and "X" in self.axes and "Y" in self.axes:
+            arrs["cgrid_geom"] = jnp.asarray(self.cgrid_geometry())
         return arrs
+
+    def cgrid_geometry(self) -> np.ndarray:
+        """Per-cell C-grid geometry table, (cells_y * cells_x, 9) float32.
+
+        Columns 0-3: corner lon differences [p1-p0, p2-p3, p3-p0, p2-p1]
+        (antimeridian-unwrapped); 4-7: the same lat differences; 8: p0's lat.
+        Corner order p0=(y,x), p1=(y,x+1), p2=(y+1,x+1), p3=(y+1,x). These
+        9 values reconstruct exactly the reference's per-sample corner math
+        (edge geodesics c1..c4 with per-particle edge latitude, and the
+        bilinear Jacobian — reference _xinterpolators.py:224-306).
+
+        The reference recomputes corner coords at every sample (NumPy-lazy);
+        lon/lat never change, so the TPU build memoizes cell geometry at
+        ingest (float64 host math) and the hot path reduces to ONE
+        row-gather per particle plus VPU arithmetic.
+        """
+        cached = getattr(self, "_cgrid_geom_cache", None)
+        if cached is not None:
+            return cached
+        lon = np.asarray(self.lon, dtype=np.float64)
+        lat = np.asarray(self.lat, dtype=np.float64)
+        if lon.ndim == 1:
+            lon2d, lat2d = np.meshgrid(lon, lat)
+        else:
+            lon2d, lat2d = lon, lat
+        px = [lon2d[:-1, :-1], lon2d[:-1, 1:], lon2d[1:, 1:], lon2d[1:, :-1]]
+        py = [lat2d[:-1, :-1], lat2d[:-1, 1:], lat2d[1:, 1:], lat2d[1:, :-1]]
+        if self.spec.spherical:
+            # antimeridian unwrap relative to p0 (reference corner unwrap)
+            px[0] = ((px[0] + 180.0) % 360.0) - 180.0
+            for k in (1, 2, 3):
+                pk = ((px[k] + 180.0) % 360.0) - 180.0
+                pk = np.where(pk - px[0] > 180.0, pk - 360.0, pk)
+                pk = np.where(px[0] - pk > 180.0, pk + 360.0, pk)
+                px[k] = pk
+        cols = [
+            px[1] - px[0], px[2] - px[3], px[3] - px[0], px[2] - px[1],
+            py[1] - py[0], py[2] - py[3], py[3] - py[0], py[2] - py[1],
+            py[0],
+        ]
+        geom = np.stack([c.reshape(-1) for c in cols], axis=1).astype(np.float32)
+        self._cgrid_geom_cache = geom
+        return geom
 
     def lookup_meta(self) -> dict | None:
         if self._lookup is None:

@@ -87,7 +87,7 @@ def _positions(gpos):
 # ---------------------------------------------------------------------------
 
 
-def _use_pallas_fast_path(field) -> bool:
+def _use_pallas_fast_path(shape4) -> bool:
     """Static trace-time check: VMEM-foldable field on a TPU backend."""
     import os
 
@@ -97,9 +97,42 @@ def _use_pallas_fast_path(field) -> bool:
 
     if os.environ.get("PARCELS_TPU_DISABLE_PALLAS"):
         return False
-    if not fits_fast_path(field.data.shape):
+    if not fits_fast_path(shape4):
         return False
     return jax.default_backend() not in ("cpu",)
+
+
+def _linear_sample(data, gpos):
+    """Multilinear hat sampling of ``data`` at ``gpos``, dispatched to the
+    fastest available path: VMEM Pallas fold, binned slab sampler (on
+    engine-sorted batches), or the XLA multi-gather fallback.
+
+    ``gpos`` may be synthetic (integer bcoords select exact columns, so
+    piecewise-constant axes are expressible too) — the C-grid interpolator
+    builds face-flux samples this way.
+    """
+    T, Z, Y, X = data.shape
+
+    def xla_path():
+        ti, tau, zi, zeta, yi, eta, xi, xsi = _positions(gpos)
+        return _multilinear(
+            data,
+            _axis_levels(ti, tau, T, True),
+            _axis_levels(zi, zeta, Z, True),
+            _axis_levels(yi, eta, Y, True),
+            _axis_levels(xi, xsi, X, True),
+        )
+
+    if _use_pallas_fast_path(data.shape):
+        from parcels_tpu.ops.interp_kernels import linear_sample_windowed
+
+        return linear_sample_windowed(data, gpos, xla_path)
+
+    from parcels_tpu.ops.binned_sample import binned_enabled, binned_linear_sample
+
+    if binned_enabled(data.shape, gpos):
+        return binned_linear_sample(data, gpos)
+    return xla_path()
 
 
 class XLinear(ScalarInterpolator):
@@ -111,29 +144,7 @@ class XLinear(ScalarInterpolator):
     """
 
     def interp(self, ppos, gpos, field):
-        data = field.data
-        T, Z, Y, X = data.shape
-
-        def xla_path():
-            ti, tau, zi, zeta, yi, eta, xi, xsi = _positions(gpos)
-            return _multilinear(
-                data,
-                _axis_levels(ti, tau, T, True),
-                _axis_levels(zi, zeta, Z, True),
-                _axis_levels(yi, eta, Y, True),
-                _axis_levels(xi, xsi, X, True),
-            )
-
-        if _use_pallas_fast_path(field):
-            from parcels_tpu.ops.interp_kernels import linear_sample_windowed
-
-            return linear_sample_windowed(data, gpos, xla_path)
-
-        from parcels_tpu.ops.binned_sample import binned_enabled, binned_linear_sample
-
-        if binned_enabled(data.shape, gpos):
-            return binned_linear_sample(data, gpos)
-        return xla_path()
+        return _linear_sample(field.data, gpos)
 
 
 class XConstantField(ScalarInterpolator):
@@ -246,6 +257,112 @@ class CGrid_Velocity(VectorInterpolator):  # noqa: N801
     """
 
     def interp(self, ppos, gpos, vf):
+        grid = vf.grid
+        if "cgrid_geom" in grid.garrs:
+            return self._interp_geom_table(ppos, gpos, vf)
+        return self._interp_corner_gather(ppos, gpos, vf)
+
+    def _interp_geom_table(self, ppos, gpos, vf):
+        """Fast path: ONE row-gather of the memoized per-cell corner geometry
+        (grid.cgrid_geometry), face-flux samples via multilinear hat calls
+        with synthetic barycentric coords (so the binned slab sampler / VMEM
+        Pallas fold apply to C-grid velocities too), and the closed-form
+        inverse bilinear map u = (U dx/dxsi + V dx/deta)/J.
+
+        Exactly the reference flux scheme (_xinterpolators.py:200-332): the
+        c1..c4 geodesics use the per-particle edge latitude, and the wu0..wu3
+        corner blend collapses algebraically to the Jacobian columns.
+        """
+        grid = vf.grid
+        spec = grid.spec
+        U, V = vf.U.data, vf.V.data
+        T, Z, Y, X = U.shape
+        ti, tau, zi, zeta, yi, eta, xi, xsi = _positions(gpos)
+        off_x, off_y, off_z = spec.offset_x, spec.offset_y, spec.offset_z
+        deg2m = spec.deg2m
+        spherical = spec.spherical
+        srt = gpos.get("_sorted", False)
+
+        cy, cx = max(spec.ydim, 1), max(spec.xdim, 1)
+        cell = jnp.clip(yi, 0, cy - 1) * cx + jnp.clip(xi, 0, cx - 1)
+        g = jnp.take(grid.garrs["cgrid_geom"], cell, axis=0)  # (n, 9) row gather
+        dlon10, dlon23, dlon30, dlon21 = g[:, 0], g[:, 1], g[:, 2], g[:, 3]
+        dlat10, dlat23, dlat30, dlat21 = g[:, 4], g[:, 5], g[:, 6], g[:, 7]
+        py0 = g[:, 8]
+
+        def edge_len(dlon, dlat, lat_edge):
+            if spherical:
+                rad = jnp.pi / 180.0
+                return jnp.sqrt(
+                    (dlon * deg2m * jnp.cos(rad * lat_edge)) ** 2 + (dlat * deg2m) ** 2
+                )
+            return jnp.sqrt(dlon**2 + dlat**2)
+
+        c1 = edge_len(dlon10, dlat10, py0 + xsi * dlat10)  # south: p0->p1
+        c2 = edge_len(dlon21, dlat21, py0 + dlat10 + eta * dlat21)  # east: p1->p2
+        c3 = edge_len(dlon23, dlat23, py0 + dlat30 + xsi * dlat23)  # north: p3->p2
+        c4 = edge_len(dlon30, dlat30, py0 + eta * dlat30)  # west: p0->p3
+
+        def sample(data, t_ix, z_ix, zb, y_ix, yb, x_ix, xb):
+            pseudo = {
+                "T": {"index": t_ix, "bcoord": tau},
+                "Z": {"index": z_ix, "bcoord": zb},
+                "Y": {"index": y_ix, "bcoord": yb},
+                "X": {"index": x_ix, "bcoord": xb},
+                "_sorted": srt,
+            }
+            return _linear_sample(data, pseudo)
+
+        zero = jnp.zeros_like(xsi)
+        zi_c = jnp.clip(zi, 0, Z - 1)
+        yi_o = jnp.clip(yi + off_y, 0, Y - 1)
+        xi_o = jnp.clip(xi + off_x, 0, X - 1)
+
+        # U face fluxes: Uvel = (1-xsi) c4 u_w + xsi c2 u_e. Folding the per-
+        # corner scale into a synthetic bcoord keeps it ONE hat sample:
+        # (a+b) * [(1-b/(a+b)) u_w + b/(a+b) u_e], a=(1-xsi)c4, b=xsi c2.
+        au, bu = (1.0 - xsi) * c4, xsi * c2
+        su = au + bu
+        Uvel = su * sample(
+            U, ti, zi_c, zero, yi_o, zero,
+            jnp.clip(xi, 0, max(X - 2, 0)), bu / jnp.maximum(su, 1e-30),
+        )
+        av, bv = (1.0 - eta) * c1, eta * c3
+        sv = av + bv
+        Vvel = sv * sample(
+            V, ti, zi_c, zero, jnp.clip(yi, 0, max(Y - 2, 0)),
+            bv / jnp.maximum(sv, 1e-30), xi_o, zero,
+        )
+
+        dxdxsi = (1.0 - eta) * dlon10 + eta * dlon23
+        dxdeta = (1.0 - xsi) * dlon30 + xsi * dlon21
+        dydxsi = (1.0 - eta) * dlat10 + eta * dlat23
+        dydeta = (1.0 - xsi) * dlat30 + xsi * dlat21
+        jac = dxdxsi * dydeta - dxdeta * dydxsi
+        if spherical:
+            jac = jac * deg2m
+        u = (Uvel * dxdxsi + Vvel * dxdeta) / jac
+        v = (Uvel * dydxsi + Vvel * dydeta) / jac
+
+        if spherical:
+            conversion = deg2m * jnp.cos(jnp.deg2rad(ppos["y"]))
+            u = u / conversion
+            v = v / conversion
+
+        if vf.W is not None:
+            W = vf.W.data
+            Zw = W.shape[1]
+            w = sample(
+                W, ti, jnp.clip(zi + off_z, 0, max(Zw - 2, 0)), zeta, yi_o, zero, xi_o, zero
+            )
+        else:
+            w = jnp.zeros_like(u)
+        return u, v, w
+
+    def _interp_corner_gather(self, ppos, gpos, vf):
+        """Fallback (banded-domain grids, where cell geometry is band-local):
+        gather corner coords and compute geometry per sample, as the
+        reference does."""
         grid = vf.grid
         spec = grid.spec
         U = vf.U.data

@@ -197,6 +197,9 @@ class YBandDomain:
                         garrs[k] = np.broadcast_to(garrs[k], (n,) + garrs[k].shape)
                 garrs.pop("lookup_yi", None)
                 garrs.pop("lookup_xi", None)
+                # per-cell geometry is indexed in the global cell frame;
+                # banded C-grids take the corner-gather fallback instead
+                garrs.pop("cgrid_geom", None)
             else:
                 garrs = {k: np.broadcast_to(v, (n,) + v.shape) for k, v in garrs.items()}
             out["grids"].append(
