@@ -133,6 +133,40 @@ class ParticleSet:
     def __len__(self):
         return int(self._data["_active"].sum())
 
+    def add(self, other: "ParticleSet") -> "ParticleSet":
+        """Merge ``other``'s particles into this set in place (reference
+        ParticleSet.add / ``pset += other``). Inactive (padded/deleted)
+        lanes of both sets are dropped during the merge."""
+        if not isinstance(other, ParticleSet):
+            raise TypeError(f"Can only add another ParticleSet, got {type(other)}")
+        if set(self._data) != set(other._data):
+            raise ValueError("ParticleSets have different particle variables.")
+        merged = {}
+        a1 = np.asarray(self._data["_active"])
+        a2 = np.asarray(other._data["_active"])
+        for k, v in self._data.items():
+            v1, v2 = np.asarray(v), np.asarray(other._data[k])
+            if k == "_rng":
+                merged[k] = v1
+            else:
+                merged[k] = np.concatenate([v1[a1], v2[a2]], axis=0)
+        self._data = merged
+        return self
+
+    def __iadd__(self, other):
+        return self.add(other)
+
+    def __iter__(self):
+        """Iterate over active particles as lightweight read-only records."""
+        data = {
+            k: np.asarray(v)
+            for k, v in self._data.items()
+            if k not in ("_rng",) and np.asarray(v).ndim >= 1
+        }
+        active = np.flatnonzero(data["_active"])
+        for i in active:
+            yield _ParticleRecord(data, int(i))
+
     @property
     def size(self):
         return len(self)
@@ -509,6 +543,31 @@ class ParticleSet:
                 block_size=None if blocked else 2**62,
             )
         return cache[key]
+
+
+class _ParticleRecord:
+    """Read-only row view yielded by ``iter(ParticleSet)``."""
+
+    __slots__ = ("_data", "_i")
+
+    def __init__(self, data, i):
+        object.__setattr__(self, "_data", data)
+        object.__setattr__(self, "_i", i)
+
+    def __getattr__(self, name):
+        data = object.__getattribute__(self, "_data")
+        if name in data:
+            return data[name][object.__getattribute__(self, "_i")]
+        raise AttributeError(name)
+
+    def __repr__(self):
+        d = self._data
+        i = self._i
+        fields = ", ".join(
+            f"{k}={d[k][i]:.6g}" for k in ("x", "y", "z", "t") if k in d
+        )
+        pid = d["particle_id"][i] if "particle_id" in d else i
+        return f"Particle(id={pid}, {fields})"
 
 
 def _check_kernel_signature(f):

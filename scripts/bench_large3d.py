@@ -68,14 +68,16 @@ def device_pdata(npart, seed=1):
     }
 
 
-def run_mode(fs, npart, steps, dt=60.0):
+def run_mode(fs, npart, steps, dt=60.0, kernel=None):
     import jax.numpy as jnp
 
     from parcels_tpu._core.engine import build_chunk_executor
     from parcels_tpu.kernels import AdvectionRK4_3D
 
+    if kernel is None:
+        kernel = AdvectionRK4_3D
     executor = build_chunk_executor(
-        (AdvectionRK4_3D,),
+        (kernel,),
         fs,
         sign_dt=1,
         rk45_mode=False,
@@ -87,15 +89,63 @@ def run_mode(fs, npart, steps, dt=60.0):
     out = executor(farrays, pdata, jnp.float32(dt), jnp.float32(dt))
     np.asarray(out["t"][:1])  # host-read sync (tunnel-safe)
 
-    endtime = jnp.float32(dt * steps)
-    t0 = time.perf_counter()
-    out = executor(farrays, pdata, endtime, jnp.float32(dt))
-    tarr = np.asarray(out["t"])
-    elapsed = time.perf_counter() - t0
-    active = np.asarray(out["_active"])
-    frac = active.mean()
-    assert np.allclose(tarr[active], dt * steps), "clock did not advance uniformly"
-    return npart * steps / elapsed, frac
+    def run(k):
+        t0 = time.perf_counter()
+        out = executor(farrays, pdata, jnp.float32(dt * k), jnp.float32(dt))
+        np.asarray(out["t"][:1])
+        return time.perf_counter() - t0
+
+    # difference two run lengths: cancels the tunnel's per-sync latency
+    k0 = max(steps // 10, 1)
+    elapsed = run(steps + k0) - run(k0)
+
+    out = executor(farrays, pdata, jnp.float32(dt * steps), jnp.float32(dt))
+    ok = jnp.all(jnp.where(out["_active"], out["t"] == np.float32(dt * steps), True))
+    frac = float(np.asarray(jnp.mean(out["_active"].astype(jnp.float32))))
+    assert bool(np.asarray(ok)), "clock did not advance uniformly"
+    return npart * steps / max(elapsed, 1e-9), frac
+
+
+def build_cgrid_fieldset(shape, geom_table=True):
+    """Large 3-D C-grid fieldset (U on (YG,XC), V on (YC,XG) faces)."""
+    import parcels_tpu._sgrid as sgrid
+    import parcels_tpu.xrlite as xr
+    from parcels_tpu import FieldSet
+    from parcels_tpu.datasets.structured import _cgrid_coords
+
+    tdim, zdim, ydim, xdim = shape
+    lon = np.linspace(0.0, 1e6, xdim)
+    lat = np.linspace(0.0, 1e6, ydim)
+    rng = np.random.default_rng(8)
+    mk = lambda: rng.uniform(-0.3, 0.3, shape).astype(np.float32)
+    coords = _cgrid_coords(lon, lat, xdim, ydim)
+    coords["time"] = (
+        ["time"],
+        np.array([np.timedelta64(i * 3600, "s") for i in range(tdim)]),
+        {"axis": "T"},
+    )
+    coords["depth"] = (["depth"], np.linspace(0.0, 500.0, zdim), {"axis": "Z"})
+    ds = xr.Dataset(
+        {
+            "U": (["time", "depth", "YG", "XC"], mk()),
+            "V": (["time", "depth", "YC", "XG"], mk()),
+        },
+        coords=coords,
+    )
+    meta = sgrid.SGrid2DMetadata(
+        node_dimensions=("XG", "YG"),
+        node_coordinates=("lon", "lat"),
+        face_dimensions=(
+            sgrid.FaceNodePadding("XC", "XG", sgrid.Padding.LOW),
+            sgrid.FaceNodePadding("YC", "YG", sgrid.Padding.LOW),
+        ),
+        vertical_dimensions=(sgrid.FaceNodePadding("ZC", "depth", sgrid.Padding.BOTH),),
+    )
+    ds = sgrid.attach_sgrid_metadata(ds, meta)
+    fs = FieldSet.from_sgrid_conventions(ds, mesh="flat")
+    if not geom_table:
+        fs._gridset[0]._needs_cgrid_geom = False  # force corner-gather fallback
+    return fs
 
 
 def main():
@@ -116,7 +166,17 @@ def main():
         fs = build_fieldset(shape)
         rate, frac = run_mode(fs, npart, steps)
         label = "binned+sorted" if mode == "force" else "gather       "
-        print(f"{label}: {rate/1e6:8.2f} M particle-steps/s  (active {frac:.3f})", flush=True)
+        print(f"A-grid {label}: {rate/1e6:8.2f} M particle-steps/s  (active {frac:.3f})", flush=True)
+
+    from parcels_tpu.kernels import AdvectionRK4
+
+    for mode, geom in (("off", False), ("off", True), ("force", True)):
+        os.environ["PARCELS_TPU_SORT_MODE"] = mode
+        os.environ["PARCELS_TPU_BINNED"] = mode
+        fs = build_cgrid_fieldset(shape, geom_table=geom)
+        rate, frac = run_mode(fs, npart, steps, kernel=AdvectionRK4)
+        label = f"geom={'Y' if geom else 'N'} {'binned+sorted' if mode == 'force' else 'gather       '}"
+        print(f"C-grid {label}: {rate/1e6:8.2f} M particle-steps/s  (active {frac:.3f})", flush=True)
 
 
 if __name__ == "__main__":

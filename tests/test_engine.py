@@ -216,3 +216,29 @@ def test_fieldset_eval_host_convenience():
     np.testing.assert_allclose(v, [0.5, 0.5], rtol=1e-6)
     uo = fs.eval("U", 0.0, 0.0, 1e5, 1e5)
     np.testing.assert_allclose(uo, [1.0], rtol=1e-6)
+
+
+def test_pset_add_merge_and_iadd():
+    fs = uniform_flow_fieldset()
+    p1 = ParticleSet(fs, x=[1000.0, 2000.0], y=[1000.0, 2000.0], t=[0.0, 0.0])
+    p2 = ParticleSet(
+        fs, x=[3000.0], y=[3000.0], t=[0.0], particle_ids=[7]
+    )
+    p1 += p2
+    assert len(p1) == 3
+    assert sorted(p1.particle_id.tolist()) == [0, 1, 7]
+    np.testing.assert_allclose(sorted(p1.x.tolist()), [1000.0, 2000.0, 3000.0])
+    with pytest.raises(TypeError):
+        p1.add("not a pset")
+    # merged set still executes
+    p1.execute(AdvectionEE, dt=np.timedelta64(60, "s"), runtime=np.timedelta64(600, "s"))
+    assert np.all(p1.t == 600.0)
+
+
+def test_pset_iteration_records():
+    fs = uniform_flow_fieldset()
+    pset = ParticleSet(fs, x=[100.0, 200.0, 300.0], y=[10.0, 20.0, 30.0], t=[0.0] * 3)
+    rows = list(pset)
+    assert len(rows) == 3
+    assert [float(r.x) for r in rows] == [100.0, 200.0, 300.0]
+    assert "Particle(id=" in repr(rows[0])

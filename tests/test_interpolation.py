@@ -123,3 +123,22 @@ def test_oob_sample_returns_zero():
     fs, _ = _ramp_fieldset()
     got = _eval(fs, "P", 0.0, 0.0, [500.0], [2000.0])
     np.testing.assert_allclose(got, [0.0])
+
+
+def test_interpolate_exactly_on_domain_edge():
+    """Sampling exactly at the last/first grid node is in-bounds (reference
+    test_particleset_interpolate_on_domainedge)."""
+    from tests.conftest import uniform_flow_fieldset
+    from parcels_tpu import ParticleSet
+    from parcels_tpu.kernels import AdvectionEE
+
+    fs = uniform_flow_fieldset(u=0.0, v=0.0)  # still water: positions hold
+    lon = fs._gridset[0].lon
+    lat = fs._gridset[0].lat
+    x = np.array([lon[0], lon[-1], lon[-1]])
+    y = np.array([lat[0], lat[0], lat[-1]])
+    pset = ParticleSet(fs, x=x, y=y, t=np.zeros(3))
+    pset.execute(AdvectionEE, dt=np.timedelta64(60, "s"), runtime=np.timedelta64(120, "s"))
+    np.testing.assert_allclose(pset.x, x, atol=1e-6)
+    np.testing.assert_allclose(pset.y, y, atol=1e-6)
+    assert np.all(pset.t == 120.0)
