@@ -251,3 +251,25 @@ def test_circulation_model_styles_roundtrip():
         _w.simplefilter("ignore", UserWarning)
         ds = convert.delft3d_to_sgrid(fields=fields, coords=coords)
     assert "lon" in ds
+
+
+def test_nemo_to_sgrid_advection_cgrid():
+    """NEMO-style curvilinear C-grid dataset advects zonally at the right
+    speed through convert + CGrid_Velocity (geometry-table path)."""
+    from parcels_tpu.datasets.circulation_models import nemo_style
+    from parcels_tpu.kernels import AdvectionRK4
+
+    u_ms = 0.2
+    fields, coords = nemo_style(nx=12, ny=8, u=u_ms, v=0.0)
+    ds = convert.nemo_to_sgrid(fields=fields, coords=coords)
+    fs = FieldSet.from_sgrid_conventions(ds)  # spherical autodetected
+    assert fs._gridset[0].spec.curvilinear
+    x0, y0 = 3.0, 42.0
+    pset = ParticleSet(fs, x=[x0], y=[y0], t=[np.timedelta64(0, "s")])
+    pset.execute(AdvectionRK4, dt=np.timedelta64(600, "s"), runtime=np.timedelta64(1, "D"))
+    from parcels_tpu import EARTH_RADIUS
+
+    deg2m = EARTH_RADIUS * np.pi / 180.0
+    exp_x = x0 + u_ms * 86400.0 / (deg2m * np.cos(np.deg2rad(y0)))
+    assert abs(pset.x[0] - exp_x) < 5e-3 * abs(exp_x - x0), (pset.x, exp_x)
+    assert abs(pset.y[0] - y0) < 1e-3
