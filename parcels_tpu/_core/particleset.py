@@ -356,9 +356,14 @@ class ParticleSet:
             dev = pmesh.shard_soa(self._data)
         else:
             executor = self._get_executor(tuple(kernels), sign_dt, rk45_mode, blocked=True)
-            from parcels_tpu._core.engine import DEFAULT_BLOCK_SIZE
+            from parcels_tpu._core.engine import DEFAULT_BLOCK_SIZE, _sort_mode_enabled
 
             self._pad_capacity(DEFAULT_BLOCK_SIZE)
+            if _sort_mode_enabled(self.fieldset) and not np.asarray(self._data["ei"]).any():
+                # sort keys come from the ei cache; seed it so the FIRST
+                # chunk bins correctly instead of overflowing to the
+                # gather fallback
+                self.populate_indices()
             farrays = None if windowed else self.fieldset.device_arrays()
             dev = {k: jnp.asarray(v) for k, v in self._data.items()}
 

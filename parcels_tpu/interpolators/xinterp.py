@@ -102,14 +102,17 @@ def _use_pallas_fast_path(shape4) -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-def _linear_sample(data, gpos):
+def _linear_sample(data, gpos, blend=(True, True, True, True)):
     """Multilinear hat sampling of ``data`` at ``gpos``, dispatched to the
     fastest available path: VMEM Pallas fold, binned slab sampler (on
     engine-sorted batches), or the XLA multi-gather fallback.
 
     ``gpos`` may be synthetic (integer bcoords select exact columns, so
     piecewise-constant axes are expressible too) — the C-grid interpolator
-    builds face-flux samples this way.
+    builds face-flux samples this way. ``blend`` marks which (T, Z, Y, X)
+    axes actually interpolate: a False axis must have bcoord == 0, and the
+    XLA fallback then gathers a single level instead of two (the hat paths
+    produce the identical selection either way).
     """
     T, Z, Y, X = data.shape
 
@@ -117,10 +120,10 @@ def _linear_sample(data, gpos):
         ti, tau, zi, zeta, yi, eta, xi, xsi = _positions(gpos)
         return _multilinear(
             data,
-            _axis_levels(ti, tau, T, True),
-            _axis_levels(zi, zeta, Z, True),
-            _axis_levels(yi, eta, Y, True),
-            _axis_levels(xi, xsi, X, True),
+            _axis_levels(ti, tau, T, blend[0]),
+            _axis_levels(zi, zeta, Z, blend[1]),
+            _axis_levels(yi, eta, Y, blend[2]),
+            _axis_levels(xi, xsi, X, blend[3]),
         )
 
     if _use_pallas_fast_path(data.shape):
@@ -303,7 +306,7 @@ class CGrid_Velocity(VectorInterpolator):  # noqa: N801
         c3 = edge_len(dlon23, dlat23, py0 + dlat30 + xsi * dlat23)  # north: p3->p2
         c4 = edge_len(dlon30, dlat30, py0 + eta * dlat30)  # west: p0->p3
 
-        def sample(data, t_ix, z_ix, zb, y_ix, yb, x_ix, xb):
+        def sample(data, t_ix, z_ix, zb, y_ix, yb, x_ix, xb, blend):
             pseudo = {
                 "T": {"index": t_ix, "bcoord": tau},
                 "Z": {"index": z_ix, "bcoord": zb},
@@ -311,7 +314,7 @@ class CGrid_Velocity(VectorInterpolator):  # noqa: N801
                 "X": {"index": x_ix, "bcoord": xb},
                 "_sorted": srt,
             }
-            return _linear_sample(data, pseudo)
+            return _linear_sample(data, pseudo, blend)
 
         zero = jnp.zeros_like(xsi)
         zi_c = jnp.clip(zi, 0, Z - 1)
@@ -326,12 +329,14 @@ class CGrid_Velocity(VectorInterpolator):  # noqa: N801
         Uvel = su * sample(
             U, ti, zi_c, zero, yi_o, zero,
             jnp.clip(xi, 0, max(X - 2, 0)), bu / jnp.maximum(su, 1e-30),
+            blend=(True, False, False, True),
         )
         av, bv = (1.0 - eta) * c1, eta * c3
         sv = av + bv
         Vvel = sv * sample(
             V, ti, zi_c, zero, jnp.clip(yi, 0, max(Y - 2, 0)),
             bv / jnp.maximum(sv, 1e-30), xi_o, zero,
+            blend=(True, False, True, False),
         )
 
         dxdxsi = (1.0 - eta) * dlon10 + eta * dlon23
@@ -353,7 +358,8 @@ class CGrid_Velocity(VectorInterpolator):  # noqa: N801
             W = vf.W.data
             Zw = W.shape[1]
             w = sample(
-                W, ti, jnp.clip(zi + off_z, 0, max(Zw - 2, 0)), zeta, yi_o, zero, xi_o, zero
+                W, ti, jnp.clip(zi + off_z, 0, max(Zw - 2, 0)), zeta, yi_o, zero, xi_o, zero,
+                blend=(True, True, False, False),
             )
         else:
             w = jnp.zeros_like(u)

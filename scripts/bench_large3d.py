@@ -85,13 +85,15 @@ def run_mode(fs, npart, steps, dt=60.0, kernel=None):
         block_size=max(npart, 2**21),
     )
     farrays = fs.device_arrays()
-    pdata = device_pdata(npart)
-    out = executor(farrays, pdata, jnp.float32(dt), jnp.float32(dt))
-    np.asarray(out["t"][:1])  # host-read sync (tunnel-safe)
+    pdata0 = device_pdata(npart)
+    # warmup compiles AND populates the ei cache (the engine's bin-sort keys
+    # come from ei; a cold all-zero cache would overflow the first chunk)
+    pdata = executor(farrays, pdata0, jnp.float32(dt), jnp.float32(dt))
+    np.asarray(pdata["t"][:1])  # host-read sync (tunnel-safe)
 
     def run(k):
         t0 = time.perf_counter()
-        out = executor(farrays, pdata, jnp.float32(dt * k), jnp.float32(dt))
+        out = executor(farrays, pdata, jnp.float32(dt * (k + 1)), jnp.float32(dt))
         np.asarray(out["t"][:1])
         return time.perf_counter() - t0
 
@@ -99,8 +101,8 @@ def run_mode(fs, npart, steps, dt=60.0, kernel=None):
     k0 = max(steps // 10, 1)
     elapsed = run(steps + k0) - run(k0)
 
-    out = executor(farrays, pdata, jnp.float32(dt * steps), jnp.float32(dt))
-    ok = jnp.all(jnp.where(out["_active"], out["t"] == np.float32(dt * steps), True))
+    out = executor(farrays, pdata, jnp.float32(dt * (steps + 1)), jnp.float32(dt))
+    ok = jnp.all(jnp.where(out["_active"], out["t"] == np.float32(dt * (steps + 1)), True))
     frac = float(np.asarray(jnp.mean(out["_active"].astype(jnp.float32))))
     assert bool(np.asarray(ok)), "clock did not advance uniformly"
     return npart * steps / max(elapsed, 1e-9), frac
