@@ -294,16 +294,20 @@ def _make_time_interval(datetimes: np.ndarray) -> TimeInterval | None:
     return TimeInterval(left, right)
 
 
-def _build_curvilinear_lookup(lon2d: np.ndarray, lat2d: np.ndarray, target_cells: int = 4):
+def _build_curvilinear_lookup(lon2d: np.ndarray, lat2d: np.ndarray, shape: tuple | None = None):
     """Build a coarse regular raster mapping (lat, lon) -> seed (yi, xi).
 
     Host-side, once per grid. Each raster cell stores the grid index of the
     nearest f-point; the device-side directed walk converges from there.
-    Resolution: ~``target_cells`` raster cells per grid cell span.
+    ``shape`` fixes the raster resolution (domain decomposition stacks one
+    raster per band, so all bands must agree).
     """
     ydim, xdim = lon2d.shape
-    ny = min(4 * ydim, 2048)
-    nx = min(4 * xdim, 2048)
+    if shape is not None:
+        ny, nx = shape
+    else:
+        ny = min(4 * ydim, 2048)
+        nx = min(4 * xdim, 2048)
     lat_min, lat_max = float(np.nanmin(lat2d)), float(np.nanmax(lat2d))
     lon_min, lon_max = float(np.nanmin(lon2d)), float(np.nanmax(lon2d))
     pad_y = max((lat_max - lat_min) * 0.01, 1e-9)

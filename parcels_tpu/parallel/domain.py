@@ -4,10 +4,13 @@ The reference has no distributed backend (SURVEY.md §2.2); this is the
 TPU-native scaling design for fields too large to replicate:
 
 - **Y-band decomposition**: each device of a 1-D ``Mesh`` owns a contiguous
-  band of grid cells along Y (latitude). Every field on a banded grid is
-  sliced into per-band slabs *with halo rows* on both sides, so a particle
-  can be advected while up to ``halo`` cells outside its owner's band
-  without any communication.
+  band of grid cells along Y. Every field on a banded grid is sliced into
+  per-band slabs *with halo rows* on both sides, so a particle can be
+  advected while up to ``halo`` cells outside its owner's band without any
+  communication. Rectilinear grids band by latitude value; curvilinear
+  grids (e.g. NEMO tripolar) band by *cell row index*, with per-band
+  lookup rasters for cold-start search and ownership judged on the cached
+  cell row.
 - **Per-step particle migration**: after every engine step, particles whose
   ``y`` crossed the owning band's edge are packed into a fixed-capacity
   buffer and handed to the neighbor device with ``lax.ppermute`` (ICI
@@ -147,19 +150,88 @@ class YBandDomain:
                     }
                 )
                 banded_any = True
+            elif "Y" in axes and spec.curvilinear and spec.ydim >= n:
+                # index-space banding: each device owns Yb *cell rows* of the
+                # 2-D grid; ownership/migration are judged on the cached cell
+                # row index, not latitude (rows of e.g. NEMO tripolar grids
+                # are not iso-latitude lines)
+                la2 = np.asarray(grid.lat, dtype=np.float64)
+                lo2 = np.asarray(grid.lon, dtype=np.float64)
+                ny_nodes, nx_nodes = la2.shape
+                ydim = spec.ydim
+                Yb = math.ceil(ydim / n)
+                extra = n * Yb - ydim
+                # replicate edge rows outward: degenerate (zero-area) pad
+                # cells make the point-in-cell walk fail there, reproducing
+                # the single-device off-grid error semantics
+                lat_ext = np.concatenate(
+                    [np.repeat(la2[:1], h, 0), la2, np.repeat(la2[-1:], extra + h, 0)]
+                )
+                lon_ext = np.concatenate(
+                    [np.repeat(lo2[:1], h, 0), lo2, np.repeat(lo2[-1:], extra + h, 0)]
+                )
+                Yl = Yb + 2 * h
+                starts = Yb * np.arange(n)
+                lat_slabs = np.stack([lat_ext[s : s + Yl + 1] for s in starts]).astype(np.float32)
+                lon_slabs = np.stack([lon_ext[s : s + Yl + 1] for s in starts]).astype(np.float32)
+                from parcels_tpu._core.grid import _build_curvilinear_lookup
+
+                ny_r = min(4 * Yl, 1024)
+                nx_r = min(4 * max(nx_nodes - 1, 1), 2048)
+                lks = [
+                    _build_curvilinear_lookup(lon_slabs[b], lat_slabs[b], shape=(ny_r, nx_r))
+                    for b in range(n)
+                ]
+                local_spec = dataclasses.replace(
+                    spec, ydim=Yl, has_lookup=True, y_oob_bounds=None
+                )
+                self._grid_plans.append(
+                    {
+                        "banded": True,
+                        "curvilinear": True,
+                        "grid": grid,
+                        "spec": local_spec,
+                        "row_starts": starts,
+                        "rows": Yl + 1,
+                        "pad_south": h,
+                        "pad_north": extra + h,
+                        "lat_slabs": lat_slabs,
+                        "lon_slabs": lon_slabs,
+                        "lookup_yi": np.stack([lk["yi"] for lk in lks]),
+                        "lookup_xi": np.stack([lk["xi"] for lk in lks]),
+                        "lookup_origin": np.asarray(
+                            [lk["origin"] for lk in lks], dtype=np.float32
+                        ),
+                        "lookup_step": np.asarray(
+                            [lk["step"] for lk in lks], dtype=np.float32
+                        ),
+                        "Yb": Yb,
+                        "ydim_nodes": ydim + 1,
+                    }
+                )
+                banded_any = True
             else:
-                if "Y" in axes and spec.curvilinear:
-                    raise NotImplementedError(
-                        "Domain decomposition of curvilinear grids is not yet supported."
-                    )
                 self._grid_plans.append({"banded": False, "grid": grid, "spec": spec})
         if not banded_any:
             raise ValueError("FieldSet has no grid decomposable along Y.")
-        main = next(p for p in self._grid_plans if p["banded"])
-        self.band_lo = main["band_lo"]
-        self.band_hi = main["band_hi"]
-        # interior edges for host-side band assignment
-        self._interior_edges = main["band_hi"][:-1]
+        kinds = {bool(p.get("curvilinear", False)) for p in self._grid_plans if p["banded"]}
+        if len(kinds) > 1:
+            raise NotImplementedError(
+                "Mixing rectilinear- and curvilinear-banded grids in one "
+                "FieldSet is not supported."
+            )
+        self._main_igrid = next(
+            i for i, p in enumerate(self._grid_plans) if p["banded"]
+        )
+        main = self._grid_plans[self._main_igrid]
+        self.curvilinear = bool(main.get("curvilinear", False))
+        if self.curvilinear:
+            self.band_lo = self.band_hi = self._interior_edges = None
+        else:
+            self.band_lo = main["band_lo"]
+            self.band_hi = main["band_hi"]
+            # interior edges for host-side band assignment
+            self._interior_edges = main["band_hi"][:-1]
 
     # -- device data ---------------------------------------------------------
     def _sharding(self, ndim: int) -> NamedSharding:
@@ -191,15 +263,25 @@ class YBandDomain:
                 i0 = offsets[i]
                 garrs["time"] = grid.time[i0 : i0 + L].astype(np.float32)
             if plan["banded"]:
-                garrs["lat"] = plan["lat_slabs"]
-                for k in list(garrs):
-                    if k != "lat":
-                        garrs[k] = np.broadcast_to(garrs[k], (n,) + garrs[k].shape)
-                garrs.pop("lookup_yi", None)
-                garrs.pop("lookup_xi", None)
+                per_band = {"lat": plan["lat_slabs"]}
+                if plan.get("curvilinear"):
+                    per_band.update(
+                        lon=plan["lon_slabs"],
+                        lookup_yi=plan["lookup_yi"],
+                        lookup_xi=plan["lookup_xi"],
+                        lookup_origin=plan["lookup_origin"],
+                        lookup_step=plan["lookup_step"],
+                    )
+                else:
+                    garrs.pop("lookup_yi", None)
+                    garrs.pop("lookup_xi", None)
                 # per-cell geometry is indexed in the global cell frame;
                 # banded C-grids take the corner-gather fallback instead
                 garrs.pop("cgrid_geom", None)
+                garrs.update(per_band)
+                for k in list(garrs):
+                    if k not in per_band:
+                        garrs[k] = np.broadcast_to(garrs[k], (n,) + garrs[k].shape)
             else:
                 garrs = {k: np.broadcast_to(v, (n,) + v.shape) for k, v in garrs.items()}
             out["grids"].append(
@@ -237,11 +319,13 @@ class YBandDomain:
             out["fields"][name] = jax.device_put(
                 jnp.asarray(slabs), self._sharding(slabs.ndim)
             )
+        blo = np.zeros(self.n) if self.band_lo is None else self.band_lo
+        bhi = np.zeros(self.n) if self.band_hi is None else self.band_hi
         out["band_lo"] = jax.device_put(
-            jnp.asarray(self.band_lo, dtype=jnp.float32), self._sharding(1)
+            jnp.asarray(blo, dtype=jnp.float32), self._sharding(1)
         )
         out["band_hi"] = jax.device_put(
-            jnp.asarray(self.band_hi, dtype=jnp.float32), self._sharding(1)
+            jnp.asarray(bhi, dtype=jnp.float32), self._sharding(1)
         )
         return out
 
@@ -300,7 +384,15 @@ class YBandDomain:
         grid_views = []
         for i, plan in enumerate(self._grid_plans):
             if plan["banded"]:
-                grid_views.append(GridView(plan["spec"], farrays_local["grids"][i], None))
+                garrs = farrays_local["grids"][i]
+                meta = None
+                if plan.get("curvilinear"):
+                    # per-band raster origin/step travel as (traced) arrays
+                    meta = {
+                        "origin": (garrs["lookup_origin"][0], garrs["lookup_origin"][1]),
+                        "step": (garrs["lookup_step"][0], garrs["lookup_step"][1]),
+                    }
+                grid_views.append(GridView(plan["spec"], garrs, meta))
             else:
                 grid_views.append(plan["grid"].make_view(farrays_local["grids"][i]))
         views: dict[str, object] = {}
@@ -327,12 +419,28 @@ class YBandDomain:
         return FieldSetView(views, dict(self.fieldset.context))
 
     # -- particle sharding ----------------------------------------------------
-    def band_of(self, y: np.ndarray) -> np.ndarray:
-        return np.searchsorted(self._interior_edges, np.asarray(y), side="right")
+    def band_of(self, y: np.ndarray, x: np.ndarray | None = None) -> np.ndarray:
+        """Owning band per particle. Rectilinear: latitude thresholds;
+        curvilinear: global cell-row index from a host-side search."""
+        if not self.curvilinear:
+            return np.searchsorted(self._interior_edges, np.asarray(y), side="right")
+        main = self._grid_plans[self._main_igrid]
+        grid = main["grid"]
+        y = np.asarray(y, dtype=np.float32)
+        x = np.zeros_like(y) if x is None else np.asarray(x, dtype=np.float32)
+        gpos = grid.make_view(grid.device_arrays()).search(
+            jnp.zeros_like(jnp.asarray(y)), jnp.asarray(y), jnp.asarray(x)
+        )
+        yi = np.asarray(gpos["Y"]["index"])
+        yi = np.clip(yi, 0, grid.spec.ydim - 1)  # off-grid lanes park in an edge band
+        return np.clip(yi // main["Yb"], 0, self.n - 1)
 
     def lane_capacity(self, pdata: dict) -> int:
         counts = np.bincount(
-            self.band_of(np.asarray(pdata["y"])[np.asarray(pdata["_active"])]),
+            self.band_of(
+                np.asarray(pdata["y"])[np.asarray(pdata["_active"])],
+                np.asarray(pdata["x"])[np.asarray(pdata["_active"])],
+            ),
             minlength=self.n,
         )
         cap = max(int(counts.max() * self.headroom), 8)
@@ -346,7 +454,7 @@ class YBandDomain:
         """
         L = lane_capacity or self.lane_capacity(pdata)
         n = self.n
-        band = self.band_of(np.asarray(pdata["y"]))
+        band = self.band_of(np.asarray(pdata["y"]), np.asarray(pdata["x"]))
         order = np.argsort(band, kind="stable")
         counts = np.bincount(band, minlength=n)
         if counts.max() > L:
@@ -380,7 +488,7 @@ class YBandDomain:
 # ---------------------------------------------------------------------------
 
 
-def _neighbor_exchange(pd: dict, mover, shift: int, axis: str, n_dev: int, cap: int):
+def _neighbor_exchange(pd: dict, mover, shift: int, axis: str, n_dev: int, cap: int, on_send=None):
     """Send ``mover`` lanes to the device at +shift; merge into its free lanes.
 
     Static-shape ragged exchange: movers are compacted (argsort puts them
@@ -399,6 +507,8 @@ def _neighbor_exchange(pd: dict, mover, shift: int, axis: str, n_dev: int, cap: 
     send_overflow = jnp.maximum(count - cap, 0)
 
     buf = {k: pd[k][sel] for k in lane_keys}
+    if on_send is not None:
+        buf = on_send(buf)
     # deactivate only the lanes actually sent
     sent = jnp.zeros(L, dtype=bool).at[sel].set(sel_valid)
     pd["_active"] = pd["_active"] & ~sent
@@ -427,6 +537,58 @@ def _migrate(pd: dict, band_lo, band_hi, axis: str, n_dev: int, cap: int):
     for shift, cross in ((1, pd["y"] >= band_hi), (-1, pd["y"] < band_lo)):
         mover = pd["_active"] & cross
         pd, of = _neighbor_exchange(pd, mover, shift, axis, n_dev, cap)
+        overflow = overflow + of
+    pd["_migof"] = pd["_migof"] + overflow
+    return pd
+
+
+def _migrate_curvilinear(pd: dict, dom: "YBandDomain", axis: str, n_dev: int, cap: int):
+    """Index-space migration for curvilinear bands.
+
+    Movers are judged on the cached cell row of the main banded grid (the
+    ``ei`` cache is refreshed at every field sample, so it lags the position
+    update by at most one step — the halo absorbs that). Sent particles'
+    cached indices are re-based into the receiver's local row frame; the
+    receiver's warm-started walk absorbs any residual off-by-a-few.
+    """
+    h = dom.halo
+    main_i, main = dom._main_igrid, dom._grid_plans[dom._main_igrid]
+    Yb = main["Yb"]
+    spec = main["spec"]
+    xdim, ydim_l = max(spec.xdim, 1), max(spec.ydim, 1)
+    yi_local = (pd["ei"][:, main_i] // xdim) % ydim_l
+
+    dev = jax.lax.axis_index(axis)
+
+    def rebase(shift):
+        def on_send(buf):
+            ei = buf["ei"]
+            cols = []
+            for g, plan in enumerate(dom._grid_plans):
+                col = ei[:, g]
+                if plan["banded"]:
+                    sp = plan["spec"]
+                    xd, yd = max(sp.xdim, 1), max(sp.ydim, 1)
+                    xi = col % xd
+                    yi = (col // xd) % yd
+                    zi = col // (xd * yd)
+                    yi = jnp.clip(yi - shift * plan["Yb"], 0, yd - 1)
+                    col = (zi * yd + yi) * xd + xi
+                cols.append(col)
+            buf = dict(buf)
+            buf["ei"] = jnp.stack(cols, axis=1)
+            return buf
+
+        return on_send
+
+    overflow = jnp.int32(0)
+    crosses = (
+        (1, (yi_local >= h + Yb) & (dev < n_dev - 1)),
+        (-1, (yi_local < h) & (dev > 0)),
+    )
+    for shift, cross in crosses:
+        mover = pd["_active"] & cross
+        pd, of = _neighbor_exchange(pd, mover, shift, axis, n_dev, cap, on_send=rebase(shift))
         overflow = overflow + of
     pd["_migof"] = pd["_migof"] + overflow
     return pd
@@ -479,6 +641,8 @@ def build_domain_executor(kernel_fns, dom: YBandDomain, *, sign_dt: int, rk45_mo
 
             def body(pd):
                 pd = engine_step(fsview, pd, endtime, dt0, kernel_fns, sign_dt, rk45_mode)
+                if dom.curvilinear:
+                    return _migrate_curvilinear(pd, dom, axis, n_dev, cap)
                 return _migrate(pd, band_lo, band_hi, axis, n_dev, cap)
 
             pd = jax.lax.while_loop(cond, body, pd)

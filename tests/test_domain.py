@@ -170,3 +170,62 @@ def test_windowed_pmesh_matches_resident():
     order = np.argsort(pset.particle_id)
     np.testing.assert_allclose(pset.x[order], xs, rtol=1e-6, atol=0.1)
     np.testing.assert_allclose(pset.y[order], ys, rtol=1e-6, atol=0.1)
+
+
+def test_curvilinear_banded_matches_single_device():
+    """Index-space banding of a curvilinear grid: zonal flow on a rotated
+    grid drives particles ACROSS row bands (global-east motion decreases the
+    grid row index); trajectories must match the single-device run."""
+    from parcels_tpu.datasets import curvilinear_rotated_dataset
+
+    def build():
+        # zonal drift adds cos(30)*86400 = +74.8 km grid-x and -43.2 km
+        # grid-y over the day, so the grid must be wide enough in x
+        ds = curvilinear_rotated_dataset(xdim=200, ydim=64)
+        return FieldSet.from_sgrid_conventions(ds, mesh="flat")
+
+    rng = np.random.default_rng(3)
+    n = 48
+    th = np.deg2rad(30.0)
+    # seed in rotated-frame interior, leaving room for 1 day of 1 m/s drift
+    sx = rng.uniform(5e3, 5e4, n)
+    sy = rng.uniform(45e3, 58e3, n)
+    x = np.cos(th) * sx - np.sin(th) * sy
+    y = np.sin(th) * sx + np.cos(th) * sy
+
+    fs_single = build()
+    xs, ys = _run(fs_single, x, y, AdvectionRK4, DAY, 600)
+    np.testing.assert_allclose(xs, x + DAY, rtol=1e-5, atol=0.5)  # U=1 zonal
+    np.testing.assert_allclose(ys, y, rtol=1e-5, atol=0.5)
+
+    fs_dom = build()
+    dom = YBandDomain(fs_dom, n_bands=8, halo=3)
+    assert dom.curvilinear
+    xd, yd = _run(fs_dom, x, y, AdvectionRK4, DAY, 600, domain=dom)
+    np.testing.assert_allclose(xd, xs, rtol=1e-6, atol=0.5)
+    np.testing.assert_allclose(yd, ys, rtol=1e-6, atol=0.5)
+
+
+def test_curvilinear_banded_off_grid_errors():
+    """A particle advected off the global curvilinear grid errors out, as on
+    a single device (degenerate pad rows make the search fail)."""
+    from parcels_tpu import GridSearchingError, FieldOutOfBoundError
+    from parcels_tpu.datasets import curvilinear_rotated_dataset
+
+    ds = curvilinear_rotated_dataset(xdim=96, ydim=64)
+    fs = FieldSet.from_sgrid_conventions(ds, mesh="flat")
+    dom = YBandDomain(fs, n_bands=8, halo=3)
+    th = np.deg2rad(30.0)
+    # start near the rotated-frame east edge: U=1 zonal pushes it off-grid
+    sx, sy = 94e3, 30e3
+    pset = ParticleSet(
+        fs,
+        x=[np.cos(th) * sx - np.sin(th) * sy],
+        y=[np.sin(th) * sx + np.cos(th) * sy],
+        t=[0.0],
+    )
+    shard_particleset(pset, dom)
+    with pytest.raises((GridSearchingError, FieldOutOfBoundError)):
+        pset.execute(
+            AdvectionRK4, dt=np.timedelta64(600, "s"), runtime=np.timedelta64(DAY, "s")
+        )
