@@ -18,9 +18,11 @@ Quick start::
     pset.execute(AdvectionRK4, dt=np.timedelta64(30, "s"), runtime=np.timedelta64(1, "D"))
 """
 
+from parcels_tpu._core.basegrid import BaseGrid
 from parcels_tpu._core.field import Field, VectorField
 from parcels_tpu._core.fieldset import FieldSet
 from parcels_tpu._core.grid import XGrid
+from parcels_tpu._core.uxgrid import UxGrid
 from parcels_tpu._core.mesh import EARTH_RADIUS, FlatMesh, SphericalMesh, get_mesh
 from parcels_tpu._core.particle import Particle, ParticleClass, Variable, get_default_particle
 from parcels_tpu._core.particlefile import ParticleFile, read_particlefile
@@ -36,7 +38,9 @@ from parcels_tpu._core.statuscodes import (
     OutsideTimeInterval,
     StatusCode,
 )
-from parcels_tpu import convert, io, tutorial
+from parcels_tpu import convert, io, kernels, tutorial
+from parcels_tpu._logging import logger
+from parcels_tpu.io.zarrstore import open_raw_zarr
 from parcels_tpu._core.timeutils import TimeInterval
 from parcels_tpu._core.warnings_ import (
     FieldEvalWarning,
@@ -86,6 +90,7 @@ __all__ = [
     "AdvectionRK4_3D",
     "AdvectionRK45",
     "AllParcelsErrorCodes",
+    "BaseGrid",
     "CGrid_Tracer",
     "CGrid_Velocity",
     "DiffusionUniformKh",
@@ -112,10 +117,14 @@ __all__ = [
     "SphericalMesh",
     "StatusCode",
     "TimeInterval",
+    "UxGrid",
     "Variable",
     "VectorField",
     "convert",
     "io",
+    "kernels",
+    "logger",
+    "open_raw_zarr",
     "tutorial",
     "XConstantField",
     "XFreeslip",

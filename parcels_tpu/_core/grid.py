@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from parcels_tpu import _sgrid as sgrid
 from parcels_tpu._core import index_search
+from parcels_tpu._core.basegrid import BaseGrid
 from parcels_tpu._core.mesh import BaseMesh, get_mesh
 from parcels_tpu._core.timeutils import TimeInterval, datetimes_to_float_seconds
 
@@ -72,7 +73,7 @@ class GridSpec:
     y_oob_bounds: tuple[float, float] | None = None
 
 
-class XGrid:
+class XGrid(BaseGrid):
     """Host-side structured grid built from an SGRID-annotated xr.Dataset."""
 
     def __init__(self, ds: xr.Dataset, mesh: Literal["flat", "spherical"] | BaseMesh = "flat"):
@@ -245,6 +246,9 @@ class XGrid:
         from parcels_tpu._core.field import GridView
 
         return GridView(self.spec, garrs, self.lookup_meta())
+
+    def _search_device(self, garrs: dict, z, y, x, ei):
+        return grid_search(self.spec, garrs, z, y, x, ei=ei, lookup_meta=self.lookup_meta())
 
     # -- raveling of per-axis indices into the cached element index ---------
     def ravel_index(self, zi, yi, xi):

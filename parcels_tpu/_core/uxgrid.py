@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from parcels_tpu._core import index_search
+from parcels_tpu._core.basegrid import BaseGrid
 from parcels_tpu._core.mesh import BaseMesh, get_mesh
 from parcels_tpu._core.timeutils import datetimes_to_float_seconds
 from parcels_tpu._core.grid import _make_time_interval, _uniform_spacing
@@ -56,7 +57,7 @@ class UxGridSpec:
     lookup_step: tuple[float, float]
 
 
-class UxGrid:
+class UxGrid(BaseGrid):
     """Host-side triangular UGRID mesh with 1-D interface depths.
 
     Parameters
@@ -171,6 +172,9 @@ class UxGrid:
 
     def make_view(self, garrs: dict) -> "UxGridView":
         return UxGridView(self.spec, garrs, self.lookup_meta())
+
+    def _search_device(self, garrs: dict, z, y, x, ei):
+        return ux_search(self.spec, garrs, z, y, x, ei=ei, lookup_meta=self.lookup_meta())
 
     def __eq__(self, other):
         return self is other

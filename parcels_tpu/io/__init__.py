@@ -7,6 +7,11 @@ JAX ecosystem — feeding the same rolling time-window device streaming
 (`FieldSet.set_time_window`).
 """
 
-from parcels_tpu.io.zarrstore import LazyZarrArray, open_zarr_dataset, write_zarr_dataset
+from parcels_tpu.io.zarrstore import (
+    LazyZarrArray,
+    open_raw_zarr,
+    open_zarr_dataset,
+    write_zarr_dataset,
+)
 
-__all__ = ["LazyZarrArray", "open_zarr_dataset", "write_zarr_dataset"]
+__all__ = ["LazyZarrArray", "open_raw_zarr", "open_zarr_dataset", "write_zarr_dataset"]

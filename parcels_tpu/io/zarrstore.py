@@ -37,7 +37,7 @@ import numpy as np
 
 from parcels_tpu import xrlite as xr
 
-__all__ = ["LazyZarrArray", "open_zarr_dataset", "write_zarr_dataset"]
+__all__ = ["LazyZarrArray", "open_raw_zarr", "open_zarr_dataset", "write_zarr_dataset"]
 
 _CF_TIME_RE = re.compile(
     r"^\s*(second|sec|s|minute|min|hour|hr|h|day|d)s?\s+since\s+(.+?)\s*$", re.IGNORECASE
@@ -252,6 +252,19 @@ def open_zarr_dataset(path: str, decode_times: bool = True) -> xr.Dataset:
     ds.attrs = {k: v for k, v in group_attrs.items() if k != "coordinates"}
     ds._check_dims()
     return ds
+
+
+def open_raw_zarr(store, decode_times: bool = True) -> xr.Dataset:
+    """Open a zarr store as a Dataset with lazy, dask-free data variables.
+
+    Name/behavior parity with the reference's ``parcels.open_raw_zarr``
+    (reference _xarray.py:13-36): coordinates load eagerly, data variables
+    are raw lazy handles (here tensorstore-backed rather than zarr.Array).
+    Accepts a filesystem path or any store object exposing ``.root`` or
+    ``.path`` (e.g. a zarr ``LocalStore``).
+    """
+    path = getattr(store, "root", None) or getattr(store, "path", None) or store
+    return open_zarr_dataset(os.fspath(path), decode_times=decode_times)
 
 
 def write_zarr_dataset(ds, path: str, chunk_time: int = 1) -> None:
