@@ -6,29 +6,40 @@ The missing performance tier between the VMEM hat-weight fold
 TPU is instruction-bound at ~5-7 M samples/s regardless of locality
 (measured on v5e, see BASELINE.md).
 
-Design. The engine keeps the particle SoA approximately sorted by spatial
-bin (engine.py sorts at chunk boundaries with one packed row-gather). The
-domain is partitioned into bins of ``(bz, by, bx)`` cells, sized at trace
-time from the particle density so a bin holds a few CHUNKs of particles;
-each Pallas program then handles CHUNK consecutive sorted particles, which
-span at most two bins in the common case. The program DMAs the two bins'
-field slabs HBM->VMEM (double-buffered across programs) and samples all its
-particles with a hat-weight MXU contraction against the two slabs stacked
-row-wise — no per-element random access anywhere:
+Design. The engine keeps the particle SoA approximately sorted by
+(spatial bin, z-cell) (engine.py sorts at chunk boundaries with one packed
+row-gather). The domain is partitioned into bins of ``(bz, by, bx)`` cells,
+sized at trace time from the particle density so a bin holds a few CHUNKs of
+particles; each Pallas program handles CHUNK consecutive sorted particles,
+which span at most two bins in the common case. The program DMAs the two
+bins' field slabs HBM→VMEM (double-buffered across programs; the second DMA
+is skipped when both lanes' bins coincide) and samples its particles with
+hat-weight MXU contractions against slab windows — no per-element random
+access anywhere.
 
-    value_p = sum_r  sel_p(r) hat(t_r - t_p) hat(z_r - z_p) hat(y_r - y_p)
-              * fold[r, :] . hat(x_cols - x_p)     (MXU + VPU row reduce)
+The contraction is *windowed per sub-block of 128 lanes*: because lanes are
+sorted by (bin, z), the 128 lanes of a sub-block share one slab half and one
+z-cell (±1), so each MXU pass contracts only a (WZ·SY, SX) window of WZ=3
+z-planes selected by a dynamic row offset, instead of the full slab:
 
-where ``sel_p`` zeroes the rows of the slab the particle does not belong
-to. Slab extents exceed the bin by the interpolation stencil (+1 cell) and
-by the (8, 128) HBM-tiling alignment of DMA origins, so a particle inside a
+    value_p = Σ_t hat(t−t_p) · [ window(z0)ᵀ · (hat(z_r−z_p)·hat(y_r−y_p)) ]
+              · hat(x_cols − x_p)                       (MXU + VPU reduce)
+
+This cuts MXU FLOPs/particle by ~SZ/WZ versus a dense whole-slab
+contraction while keeping the contraction depth (WZ·SY ≥ 128) at full MXU
+utilization, and it decouples the bin's z extent (particle-population
+driven) from the compute cost — bins can be tall in z, so the geometry
+stays feasible at realistic particle densities.
+
+Slab extents exceed the bin by the interpolation stencil (+1 cell) and by
+the (8, 128) HBM-tiling alignment of DMA origins, so a particle inside a
 bin never reads outside its slab.
 
-Particles outside both of their chunk's bins ("overflow": chunks straddling
-three bins, stale/just-migrated lanes, or an unsorted SoA) are corrected
-with a capacity-K compacted gather; if overflow exceeds K the whole batch
-falls back to the plain gather path — correctness never depends on
-sortedness.
+Particles outside their sub-block's slab/z-window ("overflow": chunks
+straddling three bins, sub-blocks straddling a bin or z transition,
+stale/just-migrated lanes, or an unsorted SoA) are corrected with a
+capacity-K compacted gather; if overflow exceeds K the whole batch falls
+back to the plain gather path — correctness never depends on sortedness.
 
 Reference semantics preserved: per-axis linear blend with clipped upper
 index, degenerate (len-1) axes pinned (reference
@@ -48,6 +59,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "CHUNK",
+    "LANE",
     "binned_usable",
     "binned_linear_sample",
     "slab_geometry",
@@ -57,11 +69,15 @@ __all__ = [
 #: particles per Pallas program (one slab pair per chunk)
 CHUNK = int(os.environ.get("PARCELS_TPU_BINNED_CHUNK", 1024))
 
+#: lanes per MXU sub-block (one z-window per sub-block)
+LANE = 128
+
 #: want at least this many particles per bin (in CHUNK units)
 _BIN_FILL = 3
 
-#: fold rows per MXU pass (bounds the live per-program weight tile)
-_ROW_BLOCK = 256
+#: FLOPs-per-byte exchange rate for the DMA term of the geometry cost
+#: (v5e: ~197 Tf/s bf16 MXU over ~819 GB/s HBM)
+_FLOPS_PER_BYTE = 240.0
 
 
 def _padded_dims(shape4):
@@ -76,41 +92,68 @@ def binned_usable(shape4) -> bool:
     return Y >= 8 and X >= 128
 
 
+def _zwin(SZ: int) -> int:
+    """z-planes per MXU window (the full slab when the slab is that thin)."""
+    return min(3, SZ)
+
+
 @functools.lru_cache(maxsize=None)
 def slab_geometry(shape4, n):
     """Trace-time bin/slab geometry from field shape and particle count.
 
     Bins of (bz, by, bx) cells; slab extents (WT, SZ, SY, SX) cover a bin
     plus the +1 interpolation stencil plus DMA-origin alignment slack
-    (y origins round down to 8, x origins to 128). Candidates are scored:
-    prefer the smallest MXU cost whose expected bin population (uniform
-    density) is >= _BIN_FILL * CHUNK; if none qualifies (sparse regime),
-    take the largest-bin candidate and let overflow/fallback absorb it.
+    (y origins round down to 8, x origins to 128). The z bin extent is
+    decoupled from compute cost by the windowed contraction, so SZ can grow
+    until VMEM binds. Candidates are scored by MXU+DMA cost per particle;
+    prefer the cheapest whose expected bin population (uniform density) is
+    >= _BIN_FILL * CHUNK; if none qualifies (sparse regime), take the
+    largest-bin candidate and let overflow/fallback absorb it.
     """
     T, Z, Yp, Xp = _padded_dims(shape4)
     WT = 1 if T == 1 else 2
     density = n / float(max(Z * Yp * Xp, 1))
 
-    sz_cands = [1] if Z == 1 else [min(Z, s) for s in (2, 3, 5)]
-    sy_cands = [s for s in (16, 24, 32, 48, 64) if s <= max(Yp, 16)]
+    forced = os.environ.get("PARCELS_TPU_BINNED_GEOM")
+    if forced:  # "SZ,SY,SX" — perf experiments only
+        SZ, SY, SX = (int(v) for v in forced.split(","))
+        SZ = min(SZ, Z)
+        WZ = _zwin(SZ)
+        bz = 1 if Z == 1 else (max(SZ - WZ, 1) if WZ < SZ else max(SZ - 1, 1))
+        return (WT, SZ, min(SY, Yp), min(SX, Xp), bz, max(SY - 9, 1), max(SX - 129, 1))
+
+    if Z == 1:
+        sz_cands = [1]
+    else:
+        sz_cands = sorted({min(Z, s) for s in (3, 4, 6, 8, 12, 16, 24, 32)})
+    sy_cands = [s for s in (16, 32, 48, 64) if s <= max(Yp, 16)]
     sx_cands = [s for s in (256, 384, 512) if s <= max(Xp, 256)]
 
     best = None  # (feasible, -cost or bin_volume) -> geometry
-    for SZ in dict.fromkeys(sz_cands):
-        bz = max(SZ - 1, 1) if Z > 1 else 1
+    for SZ in sz_cands:
+        WZ = _zwin(SZ)
+        bz = max(SZ - WZ, 1) if WZ < SZ else max(SZ - 1, 1)
+        if Z == 1:
+            bz = 1
         for SY in sy_cands:
             by = max(SY - 9, 1)
             for SX in sx_cands:
                 bx = max(SX - 129, 1)
-                cost = 2 * WT * SZ * SY * SX  # fold rows x cols per particle
-                R = WT * SZ * SY
-                wrows = min(2 * R, _ROW_BLOCK)
-                # slabs (+fold copy) + ~3 live (CHUNK, wrows) hat tiles + acc
-                vmem = 4 * (6 * WT * SZ * SY * SX + 3 * CHUNK * wrows + 2 * CHUNK * SX)
-                if vmem > 8 * 2**20:
+                # double-buffered slab pair + per-sub-block live tiles
+                slab_bytes = 4 * (2 * 2 * WT * SZ * SY * SX)
+                tile_bytes = 4 * (3 * WZ * SY * (SX + 2 * LANE) + 3 * SX * LANE)
+                if slab_bytes + tile_bytes > 7 * 2**20:
                     continue
+                mxu = 6 * max(WT * WZ * SY, 128) * SX  # per lane, bf16-split
+                dma = _FLOPS_PER_BYTE * (1.2 * WT * SZ * SY * SX * 4) / CHUNK
+                cost = mxu + dma
                 vbin = bz * by * bx
-                feasible = density * vbin >= _BIN_FILL * CHUNK
+                # bins must hold several chunks AND each z-cell must hold
+                # more than a 128-lane sub-block, else sub-blocks span >2
+                # z-cells and their tails leak into the gather fix-up
+                feasible = density * vbin >= _BIN_FILL * CHUNK and (
+                    Z == 1 or density * by * bx >= 1.5 * LANE
+                )
                 rank = (feasible, -cost if feasible else vbin)
                 if best is None or rank > best[0]:
                     best = (rank, (WT, SZ, min(SY, Yp), min(SX, Xp), bz, by, bx))
@@ -157,11 +200,13 @@ def _bin_coords(geom, shape4, gpos):
 
 
 def sort_key_for(spec, gpos, shape4, n):
-    """int32 spatial-bin sort key matching the slab geometry.
+    """int32 (spatial-bin, z-cell) sort key matching the slab geometry.
 
-    Lexicographic (z-bin, y-bin, x-bin): x-bins of one y-row stay
+    Lexicographic (z-bin, y-bin, x-bin, z-cell): x-bins of one y-row stay
     consecutive, so sorted chunks span at most two bins wherever bins hold
-    at least ~CHUNK particles — exactly what the two-slab kernel covers.
+    at least ~CHUNK particles; the trailing z-cell component groups each
+    bin's lanes by z so 128-lane sub-blocks share a z-window — exactly what
+    the windowed two-slab kernel covers.
     """
     geom = slab_geometry(tuple(shape4), n)
     _, _, _, _, bz, by, bx = geom
@@ -169,7 +214,10 @@ def sort_key_for(spec, gpos, shape4, n):
     nby = -(-max(Y, 1) // by)
     nbx = -(-max(X, 1) // bx)
     zb, yb, xb = _bin_coords(geom, shape4, gpos)
-    return ((zb * nby + yb) * nbx + xb).astype(jnp.int32)
+    bin_id = (zb * nby + yb) * nbx + xb
+    zi = jnp.clip(gpos["Z"]["index"], 0, max(Z - 1, 0)).astype(jnp.int32)
+    zrel = zi - zb * bz  # in [0, bz)
+    return (bin_id * bz + zrel).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -182,11 +230,13 @@ def _build_plan(shape4, gpos):
     n = gpos["X"]["index"].shape[0]
     geom = slab_geometry(tuple(shape4), n)
     WT, SZ, SY, SX, bz, by, bx = geom
+    WZ = _zwin(SZ)
     Tp, Zp, Yp, Xp = _padded_dims(shape4)
 
     G = -(-n // CHUNK)
     npad = G * CHUNK
     pad = npad - n
+    NS = CHUNK // LANE
 
     def padded(a):
         if pad == 0:
@@ -212,6 +262,13 @@ def _build_plan(shape4, gpos):
         origins["y" + tag] = bin_origin(pick(yb), by, 8, Yp, SY)
         origins["x" + tag] = bin_origin(pick(xb), bx, 128, Xp, SX)
 
+    # identical halves -> the kernel skips the second slab DMA
+    dup = (
+        (origins["z1"] == origins["z2"])
+        & (origins["y1"] == origins["y2"])
+        & (origins["x1"] == origins["x2"])
+    )
+
     # time origin: per-chunk min (shared by both slabs)
     tidx = gpos["T"]["index"].astype(jnp.int32)
     tblend = 1 if T > 1 else 0
@@ -220,34 +277,70 @@ def _build_plan(shape4, gpos):
     t0 = jnp.clip(tci_c.min(axis=1), 0, max(T - WT, 0))
     overflow = overflow | (tci_c + tblend > t0[:, None] + (WT - 1))
 
-    # slab-relative fractional positions (vs the particle's own slab)
-    sel1f = sel1.astype(jnp.float32)
+    # per-lane slab half (0 -> first-lane bin, 1 -> last-lane bin); when the
+    # halves coincide only slab 0 is loaded, so everything maps to half 0
+    half = jnp.where(sel1, 0, 1).astype(jnp.int32) * (1 - dup[:, None].astype(jnp.int32))
 
-    def rel(axis, dim, o1, o2, sel):
+    # integer z cell relative to the lane's own slab origin
+    zci = jnp.clip(padded(gpos["Z"]["index"].astype(jnp.int32)).reshape(G, CHUNK), 0,
+                   max(Z - 1 - (1 if Z > 1 else 0), 0))
+    zorig = jnp.where(half == 0, origins["z1"][:, None], origins["z2"][:, None])
+    zrel_int = zci - zorig
+
+    # per-sub-block scalars: slab half by majority vote (halves the tail a
+    # first-lane anchor leaves at bin boundaries), z-window offset from the
+    # majority half's lowest z cell
+    half_s = half.reshape(G, NS, LANE)
+    zrel_s = zrel_int.reshape(G, NS, LANE)
+    shalf = (half_s.sum(axis=2) > LANE // 2).astype(jnp.int32)
+    in_maj = half_s == shalf[:, :, None]
+    big = jnp.int32(2**30)
+    zmin = jnp.min(jnp.where(in_maj, zrel_s, big), axis=2)
+    z0w = jnp.clip(zmin, 0, max(SZ - WZ, 0))
+
+    # sub-block window validity: same half, z cell within the window's
+    # lower WZ-1 planes (the particle also reads plane z+1)
+    ok_half = in_maj
+    if Z > 1:
+        ok_z = (zrel_s >= z0w[:, :, None]) & (zrel_s <= z0w[:, :, None] + (WZ - 2))
+    else:
+        ok_z = jnp.ones_like(ok_half)
+    overflow = overflow | (~(ok_half & ok_z)).reshape(G, CHUNK)
+
+    # slab-relative fractional positions (vs the particle's own slab)
+    sel_h0 = (half == 0)
+
+    def rel(axis, dim, o1, o2):
         idx = padded(gpos[axis]["index"].astype(jnp.int32)).reshape(G, CHUNK)
         bc = padded(gpos[axis]["bcoord"].astype(jnp.float32)).reshape(G, CHUNK)
         blend = 1 if dim > 1 else 0
         ci = jnp.clip(idx, 0, max(dim - 1 - blend, 0))
-        o = jnp.where(sel, o1[:, None], o2[:, None])
+        o = jnp.where(sel_h0, o1[:, None], o2[:, None])
         r = (ci - o).astype(jnp.float32) + bc
         if dim == 1:
             r = jnp.zeros_like(r)
         return r.reshape(npad)
 
-    relt = rel("T", T, t0, t0, sel1)
-    relz = rel("Z", Z, origins["z1"], origins["z2"], sel1)
-    rely = rel("Y", Y, origins["y1"], origins["y2"], sel1)
-    relx = rel("X", X, origins["x1"], origins["x2"], sel1)
+    relt = rel("T", T, t0, t0)
+    relz = rel("Z", Z, origins["z1"], origins["z2"])
+    rely = rel("Y", Y, origins["y1"], origins["y2"])
+    relx = rel("X", X, origins["x1"], origins["x2"])
 
     return {
         "G": G,
+        "NS": NS,
         "npad": npad,
         "geom": geom,
+        "WZ": WZ,
         "pdims": (Tp, Zp, Yp, Xp),
         "t0": t0.astype(jnp.int32),
         "origins": {k: v.astype(jnp.int32) for k, v in origins.items()},
+        "dup": dup.astype(jnp.int32),
+        # flattened (G*NS,): 2-D SMEM prefetch arrays pad the minor dim to
+        # 128 (64 B/element) and blow the 1 MB SMEM budget
+        "shalf": shalf.reshape(-1).astype(jnp.int32),
+        "z0w": z0w.reshape(-1).astype(jnp.int32),
         "rel": (relt, relz, rely, relx),
-        "sel1": sel1f.reshape(npad),
         "overflow": overflow.reshape(npad)[:n],
     }
 
@@ -289,10 +382,11 @@ def _dot3(a, b):
 
 
 def _slab_kernel(
-    t0r, z1r, y1r, x1r, z2r, y2r, x2r, data_ref, pt, pz, py, px, s1, out, slab, sem, *, exts
+    t0r, z1r, y1r, x1r, z2r, y2r, x2r, dupr, shalfr, z0wr,
+    data_ref, pt, pz, py, px, out, slab, sem, *, exts, wz, ns,
 ):
     WT, SZ, SY, SX = exts
-    R = WT * SZ * SY
+    WZ = wz
     g = pl.program_id(0)
     nprog = pl.num_programs(0)
     slot = jax.lax.rem(g, 2)
@@ -316,43 +410,60 @@ def _slab_kernel(
     @pl.when(g == 0)
     def _():
         dma_for(0, 0, 0).start()
-        dma_for(0, 0, 1).start()
+
+        @pl.when(dupr[0] == 0)
+        def _():
+            dma_for(0, 0, 1).start()
 
     @pl.when(g + 1 < nprog)
     def _():
         dma_for(g + 1, nslot, 0).start()
-        dma_for(g + 1, nslot, 1).start()
+
+        @pl.when(dupr[g + 1] == 0)
+        def _():
+            dma_for(g + 1, nslot, 1).start()
 
     dma_for(g, slot, 0).wait()
-    dma_for(g, slot, 1).wait()
 
-    # particle-as-lane orientation throughout: positions are (1, CHUNK) rows,
-    # weights (rc, CHUNK), acc (SX, CHUNK) — a (n, 1) layout would be padded
-    # 128x by the (8, 128) tiling (measured: 4.7 GB per 10M-particle input)
-    pt, pz, py, px, s1 = (r[0] for r in (pt, pz, py, px, s1))  # (1, CHUNK)
-    fold = slab[slot].reshape(2 * R, SX)
-    acc = jnp.zeros((SX, CHUNK), jnp.float32)
-    for r0 in range(0, 2 * R, _ROW_BLOCK):
-        rc = min(_ROW_BLOCK, 2 * R - r0)
-        rr = jax.lax.broadcasted_iota(jnp.int32, (rc, 1), 0) + r0
-        half = (rr // R).astype(jnp.float32)  # 0 -> slab1 rows, 1 -> slab2 rows
-        rr = rr % R
-        t_of_r = (rr // (SZ * SY)).astype(jnp.float32)
-        z_of_r = ((rr // SY) % SZ).astype(jnp.float32)
-        y_of_r = (rr % SY).astype(jnp.float32)
-        sel = half * (1.0 - s1) + (1.0 - half) * s1  # row-half selector
-        w = sel * _hat(t_of_r - pt) * _hat(z_of_r - pz) * _hat(y_of_r - py)
-        acc = acc + _dot3(fold[r0 : r0 + rc, :], w)
+    @pl.when(dupr[g] == 0)
+    def _():
+        dma_for(g, slot, 1).wait()
+
+    # particle-as-lane orientation throughout: positions are (1, LANE) rows,
+    # weights (WT*WZ*SY, LANE), acc (SX, LANE) — a (n, 1) layout would be
+    # padded 128x by the (8, 128) tiling (measured: 4.7 GB per 10M-particle
+    # input). Both time planes merge into ONE dot per sub-block: the slab's
+    # (WT, z-window, SY) rows are contiguous after the z slice, so rc =
+    # WT*WZ*SY (>= 128, full MXU depth) and the dot count per chunk is NS —
+    # small-matmul issue overhead, not FLOPs, dominates at these sizes.
+    rc = WT * WZ * SY
+    rr = jax.lax.broadcasted_iota(jnp.int32, (rc, 1), 0)
+    trow = (rr // (WZ * SY)).astype(jnp.float32)
+    zrow = ((rr // SY) % WZ).astype(jnp.float32)
+    yrow = (rr % SY).astype(jnp.float32)
     cols = jax.lax.broadcasted_iota(jnp.int32, (SX, 1), 0).astype(jnp.float32)
-    wx = _hat(cols - px)
-    out[0] = jnp.sum(acc * wx, axis=0, keepdims=True)
+
+    for s in range(ns):
+        h = shalfr[g * ns + s]
+        z0 = z0wr[g * ns + s]
+        pts = pt[0, s : s + 1, :].reshape(1, LANE)
+        pzs = pz[0, s : s + 1, :].reshape(1, LANE) - z0.astype(jnp.float32)
+        pys = py[0, s : s + 1, :].reshape(1, LANE)
+        pxs = px[0, s : s + 1, :].reshape(1, LANE)
+
+        w = _hat(trow - pts) * _hat(zrow - pzs) * _hat(yrow - pys)  # (rc, LANE)
+        fold = slab[slot, h, :, pl.ds(z0, WZ)].reshape(rc, SX)
+        acc = _dot3(fold, w)  # (SX, LANE)
+        wx = _hat(cols - pxs)
+        out[0, s : s + 1, :] = jnp.sum(acc * wx, axis=0, keepdims=True)
 
 
 def _run_kernel(data, plan):
     WT, SZ, SY, SX = plan["geom"][:4]
+    WZ = plan["WZ"]
     G = plan["G"]
+    NS = plan["NS"]
     npad = plan["npad"]
-    R = WT * SZ * SY
     # pad Y/X up to the HBM tiling so aligned slab origins always fit; the
     # pad is loop-invariant so XLA hoists it out of the engine while-loop
     T, Z, Yp, Xp = plan["pdims"]
@@ -360,15 +471,19 @@ def _run_kernel(data, plan):
     if dy or dx:
         data = jnp.pad(data, ((0, 0), (0, 0), (0, dy), (0, dx)))
     o = plan["origins"]
-    prefetch = (plan["t0"], o["z1"], o["y1"], o["x1"], o["z2"], o["y2"], o["x2"])
-    # (G, 1, CHUNK) with block (1, 1, CHUNK): the block's trailing dims match
+    prefetch = (
+        plan["t0"],
+        o["z1"], o["y1"], o["x1"],
+        o["z2"], o["y2"], o["x2"],
+        plan["dup"], plan["shalf"], plan["z0w"],
+    )
+    # (G, NS, LANE) with block (1, NS, LANE): the block's trailing dims match
     # the array's, satisfying Mosaic's (8, 128)-divisibility rule for blocks
-    pt, pz, py, px = (p.reshape(G, 1, CHUNK) for p in plan["rel"])
-    s1 = plan["sel1"].reshape(G, 1, CHUNK)
+    pt, pz, py, px = (p.reshape(G, NS, LANE) for p in plan["rel"])
 
-    pos_spec = pl.BlockSpec((1, 1, CHUNK), lambda g, *refs: (g, 0, 0), memory_space=pltpu.VMEM)
+    pos_spec = pl.BlockSpec((1, NS, LANE), lambda g, *refs: (g, 0, 0), memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=10,
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # field stays in HBM; slabs DMA'd
@@ -376,10 +491,9 @@ def _run_kernel(data, plan):
             pos_spec,
             pos_spec,
             pos_spec,
-            pos_spec,
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, CHUNK), lambda g, *refs: (g, 0, 0), memory_space=pltpu.VMEM
+            (1, NS, LANE), lambda g, *refs: (g, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 2, WT, SZ, SY, SX), jnp.float32),
@@ -388,16 +502,16 @@ def _run_kernel(data, plan):
     )
     interpret = jax.default_backend() in ("cpu",)
     out = pl.pallas_call(
-        functools.partial(_slab_kernel, exts=plan["geom"][:4]),
+        functools.partial(_slab_kernel, exts=plan["geom"][:4], wz=WZ, ns=NS),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((G, 1, CHUNK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((G, NS, LANE), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * npad * 2 * R * SX,
-            bytes_accessed=G * (2 * WT * SZ * SY * SX * 4) + npad * 24,
+            flops=3 * npad * 2 * WT * WZ * SY * SX,
+            bytes_accessed=G * (2 * WT * SZ * SY * SX * 4) + npad * 20,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(*prefetch, jnp.asarray(data, jnp.float32), pt, pz, py, px, s1)
+    )(*prefetch, jnp.asarray(data, jnp.float32), pt, pz, py, px)
     return out.reshape(-1)
 
 
@@ -453,16 +567,24 @@ def binned_linear_sample(data, gpos):
     vals = _run_kernel(data, plan)[:n]
 
     ov = plan["overflow"]
-    count = jnp.sum(ov.astype(jnp.int32))
-    # tiered capacity: the steady engine-sorted state has near-zero overflow,
-    # so the common tier must be cheap — a fixed n/8 gather would cost more
-    # than the kernel itself (measured: 44 ms at n=2M)
-    K_small = min(n, max(4096, n // 128))
+    # tiered capacity: the steady engine-sorted state has near-zero overflow
+    # (sub-block z/bin transition tails only), so the common tier must be
+    # cheap — a fixed n/8 gather would cost more than the kernel itself
+    # (measured: 44 ms at n=2M)
+    K_small = min(n, max(4096, n // 48))
     K_big = min(n, max(4096, n // 8))
+
+    # stream compaction via cumsum + binary search: the j-th overflow lane is
+    # the first position where cumsum reaches j+1. jnp.nonzero(size=K) (full
+    # sort) and an n-sized scatter were both measured as expensive as the
+    # sampling kernel itself; searchsorted costs only K*log2(n) gathers.
+    cum = jnp.cumsum(ov.astype(jnp.int32))
+    count = cum[-1]
 
     def fixup_k(K):
         def fixup(vals):
-            (idx,) = jnp.nonzero(ov, size=K, fill_value=0)
+            idx = jnp.searchsorted(cum, jnp.arange(1, K + 1, dtype=cum.dtype))
+            idx = jnp.minimum(idx, n - 1).astype(jnp.int32)
             gidx = {
                 ax: (
                     jnp.take(gpos[ax]["index"].astype(jnp.int32), idx),

@@ -48,7 +48,12 @@ def run_case(shape4, n, label):
     geom = bs.slab_geometry(shape4, n)
     _, _, _, _, bz, by, bx = geom
     print("geometry (WT,SZ,SY,SX,bz,by,bx):", geom)
-    skey = ((zi // bz) * (-(-Y // by)) + yi // by) * (-(-X // bx)) + xi // bx
+    skey = bs.sort_key_for(
+        None,
+        {ax: {"index": v} for ax, v in (("Z", zi), ("Y", yi), ("X", xi))},
+        shape4,
+        n,
+    )
     _, order = jax.lax.sort_key_val(skey.astype(jnp.int32), jnp.arange(n, dtype=jnp.int32))
     zi, yi, xi = (jnp.take(a, order) for a in (zi, yi, xi))
 

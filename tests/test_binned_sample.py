@@ -59,11 +59,12 @@ def _random_positions(rng, n, shape4, spread=None):
 
 
 def _sort_positions(pos, shape4, n=None):
-    T, Z, Y, X = shape4
+    """Engine-equivalent (bin, z-cell) ordering via the public sort key."""
     n = n if n is not None else len(pos["X"][0])
-    _, _, _, _, bz, by, bx = bs.slab_geometry(shape4, n)
-    zi, yi, xi = pos["Z"][0], pos["Y"][0], pos["X"][0]
-    key = ((zi // bz) * (-(-Y // by)) + yi // by) * (-(-X // bx)) + xi // bx
+    gpos = {
+        ax: {"index": jnp.asarray(idx, jnp.int32)} for ax, (idx, bc) in pos.items()
+    }
+    key = np.asarray(bs.sort_key_for(None, gpos, shape4, n))
     order = np.argsort(key, kind="stable")
     return {ax: (idx[order], bc[order]) for ax, (idx, bc) in pos.items()}
 
@@ -131,6 +132,19 @@ def test_binned_partial_overflow_fixup():
     vals = np.asarray(bs.binned_linear_sample(jnp.asarray(data), _make_gpos(pos)))
     expect = _ref_multilinear(data, pos)
     np.testing.assert_allclose(vals, expect, rtol=2e-4, atol=2e-5)
+
+
+def test_sorted_lanes_have_low_overflow():
+    """(bin, z)-sorted lanes must ride the kernel, not the gather fix-up:
+    overflow is only bin/z transition tails inside 128-lane sub-blocks."""
+    shape4 = (2, 16, 64, 512)
+    rng = np.random.default_rng(11)
+    n = 64 * bs.CHUNK  # dense enough that bins hold multiple chunks
+    pos = _sort_positions(_random_positions(rng, n, shape4), shape4)
+    gpos = _make_gpos(pos)
+    plan = bs._build_plan(shape4, gpos)
+    frac = float(np.asarray(plan["overflow"]).mean())
+    assert frac < 0.05, f"overflow fraction {frac:.3f} — fast path not engaged"
 
 
 def test_sort_key_groups_bins():
