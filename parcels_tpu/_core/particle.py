@@ -12,6 +12,7 @@ jnp arrays with fixed capacity plus internal bookkeeping entries:
 
 from __future__ import annotations
 
+import operator
 from typing import Any
 
 import numpy as np
@@ -23,6 +24,13 @@ __all__ = ["Particle", "ParticleClass", "Variable", "create_particle_data", "get
 _TO_WRITE_OPTIONS = [True, False]
 
 INTERNAL_VARS = ("ei", "_active", "_rng")
+
+
+class _AttrNameHelper:
+    """attrgetter('name')(helper) == 'name' (v3 compat, reference _compat.py:5-22)."""
+
+    def __getattr__(self, name):
+        return name
 
 
 def _assert_varname(name: str):
@@ -176,10 +184,19 @@ def create_particle_data(
             )
         data[var_name] = values.astype(_device_dtype(variables[var_name].dtype))
 
+    deferred = []
     for var in variables.values():
         if var.name in data:
+            continue
+        if isinstance(var.initial, operator.attrgetter):
+            # v3 compat: ``Variable(..., initial=attrgetter("z"))`` copies the
+            # initial state of another variable (reference particle.py:213-214)
+            deferred.append(var)
             continue
         data[var.name] = np.full(
             (nparticles,), var.initial, dtype=_device_dtype(var.dtype)
         )
+    for var in deferred:
+        name_to_copy = var.initial(_AttrNameHelper())
+        data[var.name] = data[name_to_copy].astype(_device_dtype(var.dtype))
     return data

@@ -44,6 +44,10 @@ REFERENCE_ALL = [
     "read_particlefile",
     "tutorial",
     "FieldSetWarning",
+    "FieldEvalWarning",
+    "FileWarning",
+    "KernelWarning",
+    "ParticleSetWarning",
 ]
 
 

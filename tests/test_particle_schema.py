@@ -69,6 +69,18 @@ def test_create_particle_data_soa():
         create_particle_data(pclass=pc, nparticles=2, ngrids=1, initial={"nope": np.zeros(2)})
 
 
+def test_attrgetter_initial_copies_other_variable():
+    # v3 compat: initial=attrgetter("x") seeds one variable from another
+    # (reference particle.py:213-214, _compat.py:5-22)
+    from operator import attrgetter
+
+    pc = get_default_particle().add_variable(Variable("x0", initial=attrgetter("x")))
+    data = create_particle_data(
+        pclass=pc, nparticles=4, ngrids=1, initial={"x": np.arange(4.0)}
+    )
+    np.testing.assert_array_equal(data["x0"], data["x"])
+
+
 # -- traced view write-through ------------------------------------------------
 
 
