@@ -43,12 +43,24 @@ class Field:
         self.grid = grid
         self.interp_method = interp_method
         self.igrid = -1  # assigned by FieldSet
+        self._fieldset = None  # back-pointer + registered name, set by add_field
+        self._registered_name = name
 
     @property
     def time_interval(self):
         if self.data.shape[0] <= 1:
             return None
         return self.grid.time_interval
+
+    def eval(self, t, z, y, x, particles=None):
+        """Host-side interactive sampling (reference field.py:145-185).
+
+        Delegates to the owning FieldSet's jitted view path; ``particles``
+        is accepted for kernel-signature compatibility and ignored.
+        """
+        if self._fieldset is None:
+            raise ValueError(f"Field {self.name!r} is not part of a FieldSet")
+        return self._fieldset.eval(self._registered_name, t, z, y, x)
 
     def __repr__(self):
         return f"Field(name={self.name!r}, shape={self.data.shape})"
@@ -67,6 +79,14 @@ class VectorField:
         self.grid = U.grid
         self.interp_method = interp_method
         self.vector_type = "3D" if W is not None else "2D"
+        self._fieldset = None
+        self._registered_name = name
+
+    def eval(self, t, z, y, x, particles=None):
+        """Host-side interactive sampling (reference field.py:250-295)."""
+        if self._fieldset is None:
+            raise ValueError(f"VectorField {self.name!r} is not part of a FieldSet")
+        return self._fieldset.eval(self._registered_name, t, z, y, x)
 
     @property
     def igrid(self):

@@ -203,6 +203,8 @@ class FieldSet:
             # device arrays will carry the memoized per-cell corner geometry
             # so the hot path is a single row-gather (grid.cgrid_geometry)
             field.grid._needs_cgrid_geom = True
+        field._fieldset = self
+        field._registered_name = name
         self._fields[name] = field
         self._invalidate_caches()
 

@@ -14,6 +14,7 @@ holds the sigma levels themselves.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["AdvectionRK2_3D_CROCO", "SampleOmegaCroco", "convert_z_to_sigma_croco"]
 
@@ -24,11 +25,16 @@ def convert_z_to_sigma_croco(fieldset, t, z, y, x, particles):
     Inverts the CROCO vertical stretching z(sigma) = z0 + zeta (1 + z0/h)
     with z0 = hc sigma + (h - hc) Cs_w(sigma), linearly per sigma layer.
     """
+    z = jnp.asarray(z)
     zeros = jnp.zeros_like(z)
-    h = fieldset.h.eval(t, zeros, y, x, particles=particles)
-    zeta = fieldset.zeta.eval(t, zeros, y, x, particles=particles)
-    sigma_levels = fieldset.U.grid.garrs["depth"]  # (nz,) sigma in [-1, 0]
-    cs_w = fieldset.Cs_w.data.reshape(-1)  # (nz,)
+    h = jnp.asarray(fieldset.h.eval(t, zeros, y, x, particles=particles))
+    zeta = jnp.asarray(fieldset.zeta.eval(t, zeros, y, x, particles=particles))
+    grid = fieldset.U.grid
+    if hasattr(grid, "garrs"):  # traced view inside the engine
+        sigma_levels = grid.garrs["depth"]  # (nz,) sigma in [-1, 0]
+    else:  # host FieldSet (interactive use, reference test_sigmagrids.py:43)
+        sigma_levels = jnp.asarray(np.asarray(grid.depth, dtype=np.float32))
+    cs_w = jnp.asarray(fieldset.Cs_w.data).reshape(-1)  # (nz,)
     hc = fieldset.hc
 
     h_ = h[:, None]
