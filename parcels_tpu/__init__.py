@@ -38,7 +38,7 @@ from parcels_tpu._core.statuscodes import (
     OutsideTimeInterval,
     StatusCode,
 )
-from parcels_tpu import convert, io, kernels, tutorial
+from parcels_tpu import convert, io, kernels, profiling, tutorial
 from parcels_tpu._logging import logger
 from parcels_tpu.io.zarrstore import open_raw_zarr
 from parcels_tpu._core.timeutils import TimeInterval
@@ -125,6 +125,7 @@ __all__ = [
     "kernels",
     "logger",
     "open_raw_zarr",
+    "profiling",
     "tutorial",
     "XConstantField",
     "XFreeslip",

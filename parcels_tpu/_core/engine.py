@@ -33,6 +33,11 @@ __all__ = ["DEFAULT_BLOCK_SIZE", "build_chunk_executor", "compute_loop_masks", "
 #: particles per sequential device block (bounds live intermediate memory)
 DEFAULT_BLOCK_SIZE = int(os.environ.get("PARCELS_TPU_BLOCK_SIZE", 2**21))
 
+#: re-sort the SoA every N inner steps while in binned+sorted mode, so the
+#: positional drift since the chunk-boundary sort never pushes the slab
+#: sampler's overflow past its fix-up capacity tier (0 = never)
+RESORT_EVERY = int(os.environ.get("PARCELS_TPU_RESORT_EVERY", 16))
+
 
 # ---------------------------------------------------------------------------
 # spatial chunk sorting (feeds ops/binned_sample.py)
@@ -71,7 +76,7 @@ def _sort_mode_enabled(fieldset) -> bool:
 def _soa_sortable(pdata) -> bool:
     """All per-particle arrays must be 4-byte scalars for the packed permute."""
     return all(
-        k == "_rng" or (v.dtype.itemsize == 4 or v.dtype == jnp.bool_)
+        k == "_rng" or v.ndim == 0 or (v.dtype.itemsize == 4 or v.dtype == jnp.bool_)
         for k, v in pdata.items()
     )
 
@@ -88,7 +93,7 @@ def _permute_soa(pdata, order):
     cols, meta = [], []
     for k in sorted(pdata):
         v = pdata[k]
-        if k == "_rng":
+        if k == "_rng" or v.ndim == 0:  # scalars (e.g. _it) are not per-lane
             continue
         if v.dtype == jnp.bool_:
             enc = lambda a: a.astype(jnp.int32)
@@ -191,16 +196,28 @@ def build_chunk_executor(
         dt0 = jnp.asarray(dt0, dtype=pdata["dt"].dtype)
 
         sorting = sort_field_name is not None and _soa_sortable(pdata)
-        order = None
+        resort = None
         if sorting:
-            pdata, order = _sort_soa(fsview, sort_field_name, pdata)
+            # carry the original lane index through every (re)sort so the
+            # final unsort works whatever permutation the inner loop applied
+            pdata = dict(pdata)
+            pdata["_ord"] = jnp.arange(pdata["state"].shape[0], dtype=jnp.int32)
+            pdata, _ = _sort_soa(fsview, sort_field_name, pdata)
+            if RESORT_EVERY > 0:
+                resort = lambda pd: _sort_soa(fsview, sort_field_name, pd)[0]
+
+        def finish(out):
+            if not sorting:
+                return out
+            return _unsort_soa(out, out.pop("_ord"))
 
         n = pdata["state"].shape[0]
         if n <= block_size:
             out = _run_block(
-                fsview, dict(pdata), endtime, dt0, kernel_fns, sign_dt, rk45_mode, sorting
+                fsview, dict(pdata), endtime, dt0, kernel_fns, sign_dt, rk45_mode,
+                sorting, resort,
             )
-            return _unsort_soa(out, order) if sorting else out
+            return finish(out)
 
         if n % block_size:
             raise ValueError(
@@ -218,14 +235,15 @@ def build_chunk_executor(
 
         out = jax.lax.map(
             lambda pd: _run_block(
-                fsview, dict(pd), endtime, dt0, kernel_fns, sign_dt, rk45_mode, sorting
+                fsview, dict(pd), endtime, dt0, kernel_fns, sign_dt, rk45_mode,
+                sorting, resort,
             ),
             blocked,
         )
         merged = {}
         for k, v in out.items():
             merged[k] = v[0] if k == "_rng" else v.reshape((n,) + v.shape[2:])
-        return _unsort_soa(merged, order) if sorting else merged
+        return finish(merged)
 
     donate_argnums = (1,) if donate else ()
     return jax.jit(chunk, donate_argnums=donate_argnums)
@@ -241,22 +259,37 @@ def compute_loop_masks(pd, endtime, sign_dt):
     return busy, halt
 
 
-def _run_block(fsview, pdata, endtime, dt0, kernel_fns, sign_dt, rk45_mode, sorted_hint=False):
+def _run_block(
+    fsview, pdata, endtime, dt0, kernel_fns, sign_dt, rk45_mode,
+    sorted_hint=False, resort=None,
+):
     """The full inner time loop for one particle block (traced)."""
     # Chunk start: active particles are (re)queued for evaluation
     # (reference kernel.py:190).
     pdata["state"] = jnp.where(
         pdata["_active"], jnp.int32(StatusCode.Evaluate), pdata["state"]
     )
+    if resort is not None:
+        pdata["_it"] = jnp.int32(0)
 
     def cond(pd):
         busy, halt = compute_loop_masks(pd, endtime, sign_dt)
         return jnp.any(busy) & ~jnp.any(halt)
 
     def body(pd):
-        return engine_step(fsview, pd, endtime, dt0, kernel_fns, sign_dt, rk45_mode, sorted_hint)
+        pd = engine_step(fsview, pd, endtime, dt0, kernel_fns, sign_dt, rk45_mode, sorted_hint)
+        if resort is not None:
+            pd = dict(pd)
+            it = pd["_it"] + 1
+            pd["_it"] = it
+            pd = jax.lax.cond(it % RESORT_EVERY == 0, resort, lambda p: p, pd)
+        return pd
 
-    return jax.lax.while_loop(cond, body, pdata)
+    out = jax.lax.while_loop(cond, body, pdata)
+    if resort is not None:
+        out = dict(out)
+        out.pop("_it")
+    return out
 
 
 def engine_step(fsview, pd, endtime, dt0, kernel_fns, sign_dt, rk45_mode, sorted_hint=False):

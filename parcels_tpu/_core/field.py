@@ -197,6 +197,11 @@ def _get_positions(field: FieldView, t, z, y, x, particles: Particles | None):
     gpos["T"] = {"index": ti, "bcoord": tau}
     # static hint: SoA is engine-sorted -> binned slab sampler applies
     gpos["_sorted"] = bool(particles is not None and getattr(particles, "_sorted_hint", False))
+    if particles is not None and "_active" in particles._data:
+        # lane-activity mask: the binned sampler skips all-inactive chunks
+        # (capacity padding sorts to the tail) and drops dead lanes from
+        # its overflow budget
+        gpos["active"] = particles._data["_active"]
 
     if particles is not None:
         _update_particles_ei(particles, gpos, field)

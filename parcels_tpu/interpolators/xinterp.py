@@ -314,6 +314,8 @@ class CGrid_Velocity(VectorInterpolator):  # noqa: N801
                 "X": {"index": x_ix, "bcoord": xb},
                 "_sorted": srt,
             }
+            if "active" in gpos:
+                pseudo["active"] = gpos["active"]
             return _linear_sample(data, pseudo, blend)
 
         zero = jnp.zeros_like(xsi)

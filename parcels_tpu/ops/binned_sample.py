@@ -75,6 +75,10 @@ LANE = 128
 #: want at least this many particles per bin (in CHUNK units)
 _BIN_FILL = 3
 
+#: overflow fix-up tier capacities, as n/DIV (see binned_linear_sample)
+_K_SMALL_DIV = int(os.environ.get("PARCELS_TPU_BINNED_KSMALL_DIV", 48))
+_K_BIG_DIV = int(os.environ.get("PARCELS_TPU_BINNED_KBIG_DIV", 8))
+
 #: FLOPs-per-byte exchange rate for the DMA term of the geometry cost
 #: (v5e: ~197 Tf/s bf16 MXU over ~819 GB/s HBM)
 _FLOPS_PER_BYTE = 240.0
@@ -93,8 +97,15 @@ def binned_usable(shape4) -> bool:
 
 
 def _zwin(SZ: int) -> int:
-    """z-planes per MXU window (the full slab when the slab is that thin)."""
-    return min(3, SZ)
+    """z-planes per MXU window (the full slab when the slab is that thin).
+
+    4 planes = 3 z-cells: the window anchors one cell BELOW the sub-block's
+    sorted z-cell, so lanes that drift +-1 z-cell between engine re-sorts
+    stay covered instead of spilling to the overflow fix-up (drift was
+    measured to cross the fix-up capacity tier after ~6 steps at WZ=3,
+    cliffing the whole batch onto the gather fallback).
+    """
+    return min(4, SZ)
 
 
 @functools.lru_cache(maxsize=None)
@@ -114,13 +125,26 @@ def slab_geometry(shape4, n):
     WT = 1 if T == 1 else 2
     density = n / float(max(Z * Yp * Xp, 1))
 
+    # Bin extents: a lane's slab-relative cell must stay within the slab for
+    # ANY origin produced by clipping/alignment. z: bz <= SZ-1 (clipped
+    # last-bin origins only shrink zrel). y: origins round down to 8, so
+    # by <= SY-8-1; x rounds to 128, bx <= SX-128-1. A slab covering the
+    # whole (padded) axis means ONE bin spanning it — remainder bins are
+    # what make sorted chunks straddle 3+ bins and leak into the fix-up.
+    def bin_extents(SZ, SY, SX):
+        bz = 1 if Z == 1 else (Z if SZ >= Z else max(SZ - 1, 1))
+        by = Y_ if SY >= Yp else max(SY - 9, 1)
+        bx = X_ if SX >= Xp else max(SX - 129, 1)
+        return bz, by, bx
+
+    Y_, X_ = shape4[2], shape4[3]
+
     forced = os.environ.get("PARCELS_TPU_BINNED_GEOM")
     if forced:  # "SZ,SY,SX" — perf experiments only
         SZ, SY, SX = (int(v) for v in forced.split(","))
         SZ = min(SZ, Z)
-        WZ = _zwin(SZ)
-        bz = 1 if Z == 1 else (max(SZ - WZ, 1) if WZ < SZ else max(SZ - 1, 1))
-        return (WT, SZ, min(SY, Yp), min(SX, Xp), bz, max(SY - 9, 1), max(SX - 129, 1))
+        bz, by, bx = bin_extents(SZ, min(SY, Yp), min(SX, Xp))
+        return (WT, SZ, min(SY, Yp), min(SX, Xp), bz, by, bx)
 
     if Z == 1:
         sz_cands = [1]
@@ -132,13 +156,9 @@ def slab_geometry(shape4, n):
     best = None  # (feasible, -cost or bin_volume) -> geometry
     for SZ in sz_cands:
         WZ = _zwin(SZ)
-        bz = max(SZ - WZ, 1) if WZ < SZ else max(SZ - 1, 1)
-        if Z == 1:
-            bz = 1
         for SY in sy_cands:
-            by = max(SY - 9, 1)
             for SX in sx_cands:
-                bx = max(SX - 129, 1)
+                bz, by, bx = bin_extents(SZ, SY, SX)
                 # double-buffered slab pair + per-sub-block live tiles
                 slab_bytes = 4 * (2 * 2 * WT * SZ * SY * SX)
                 tile_bytes = 4 * (3 * WZ * SY * (SX + 2 * LANE) + 3 * SX * LANE)
@@ -294,9 +314,15 @@ def _build_plan(shape4, gpos):
     zrel_s = zrel_int.reshape(G, NS, LANE)
     shalf = (half_s.sum(axis=2) > LANE // 2).astype(jnp.int32)
     in_maj = half_s == shalf[:, :, None]
-    big = jnp.int32(2**30)
-    zmin = jnp.min(jnp.where(in_maj, zrel_s, big), axis=2)
-    z0w = jnp.clip(zmin, 0, max(SZ - WZ, 0))
+    # anchor the window one cell below the sub-block's ROUNDED MEAN z-cell:
+    # robust to outliers, unlike a min anchor, where a single lane drifting
+    # down a z-cell between engine re-sorts drags the window and evicts
+    # every top-cell lane of its sub-block (measured: that amplification
+    # cliffed whole batches onto the gather fallback after ~6 drift steps)
+    cnt = jnp.maximum(in_maj.sum(axis=2), 1)
+    zsum = jnp.where(in_maj, zrel_s, 0).sum(axis=2)
+    zmean = jnp.round(zsum.astype(jnp.float32) / cnt.astype(jnp.float32)).astype(jnp.int32)
+    z0w = jnp.clip(zmean - 1, 0, max(SZ - WZ, 0))
 
     # sub-block window validity: same half, z cell within the window's
     # lower WZ-1 planes (the particle also reads plane z+1)
@@ -306,6 +332,18 @@ def _build_plan(shape4, gpos):
     else:
         ok_z = jnp.ones_like(ok_half)
     overflow = overflow | (~(ok_half & ok_z)).reshape(G, CHUNK)
+
+    # lane activity: dead lanes (capacity padding, deleted particles) never
+    # need values — drop them from the overflow budget and let the kernel
+    # skip chunks with no live lane at all (the engine sorts inactive lanes
+    # to the tail, so padding forms whole dead chunks)
+    active = gpos.get("active")
+    if active is not None:
+        act_c = padded(jnp.asarray(active)).reshape(G, CHUNK)
+        overflow = overflow & act_c
+        live = act_c.any(axis=1).astype(jnp.int32)
+    else:
+        live = jnp.ones((G,), jnp.int32)
 
     # slab-relative fractional positions (vs the particle's own slab)
     sel_h0 = (half == 0)
@@ -340,6 +378,7 @@ def _build_plan(shape4, gpos):
         # 128 (64 B/element) and blow the 1 MB SMEM budget
         "shalf": shalf.reshape(-1).astype(jnp.int32),
         "z0w": z0w.reshape(-1).astype(jnp.int32),
+        "live": live,
         "rel": (relt, relz, rely, relx),
         "overflow": overflow.reshape(npad)[:n],
     }
@@ -382,7 +421,7 @@ def _dot3(a, b):
 
 
 def _slab_kernel(
-    t0r, z1r, y1r, x1r, z2r, y2r, x2r, dupr, shalfr, z0wr,
+    t0r, z1r, y1r, x1r, z2r, y2r, x2r, dupr, shalfr, z0wr, liver,
     data_ref, pt, pz, py, px, out, slab, sem, *, exts, wz, ns,
 ):
     WT, SZ, SY, SX = exts
@@ -407,7 +446,7 @@ def _slab_kernel(
             sem.at[s, half],
         )
 
-    @pl.when(g == 0)
+    @pl.when((g == 0) & (liver[0] == 1))
     def _():
         dma_for(0, 0, 0).start()
 
@@ -415,7 +454,9 @@ def _slab_kernel(
         def _():
             dma_for(0, 0, 1).start()
 
-    @pl.when(g + 1 < nprog)
+    # dead chunks (no live lane — sorted capacity padding) do no DMA and no
+    # compute; starts and waits are consistently guarded by the same flag
+    @pl.when((g + 1 < nprog) & (liver[jnp.minimum(g + 1, nprog - 1)] == 1))
     def _():
         dma_for(g + 1, nslot, 0).start()
 
@@ -423,11 +464,13 @@ def _slab_kernel(
         def _():
             dma_for(g + 1, nslot, 1).start()
 
-    dma_for(g, slot, 0).wait()
-
-    @pl.when(dupr[g] == 0)
+    @pl.when(liver[g] == 1)
     def _():
-        dma_for(g, slot, 1).wait()
+        dma_for(g, slot, 0).wait()
+
+        @pl.when(dupr[g] == 0)
+        def _():
+            dma_for(g, slot, 1).wait()
 
     # particle-as-lane orientation throughout: positions are (1, LANE) rows,
     # weights (WT*WZ*SY, LANE), acc (SX, LANE) — a (n, 1) layout would be
@@ -436,26 +479,32 @@ def _slab_kernel(
     # (WT, z-window, SY) rows are contiguous after the z slice, so rc =
     # WT*WZ*SY (>= 128, full MXU depth) and the dot count per chunk is NS —
     # small-matmul issue overhead, not FLOPs, dominates at these sizes.
-    rc = WT * WZ * SY
-    rr = jax.lax.broadcasted_iota(jnp.int32, (rc, 1), 0)
-    trow = (rr // (WZ * SY)).astype(jnp.float32)
-    zrow = ((rr // SY) % WZ).astype(jnp.float32)
-    yrow = (rr % SY).astype(jnp.float32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (SX, 1), 0).astype(jnp.float32)
+    @pl.when(liver[g] == 0)
+    def _():
+        out[...] = jnp.zeros(out.shape, out.dtype)
 
-    for s in range(ns):
-        h = shalfr[g * ns + s]
-        z0 = z0wr[g * ns + s]
-        pts = pt[0, s : s + 1, :].reshape(1, LANE)
-        pzs = pz[0, s : s + 1, :].reshape(1, LANE) - z0.astype(jnp.float32)
-        pys = py[0, s : s + 1, :].reshape(1, LANE)
-        pxs = px[0, s : s + 1, :].reshape(1, LANE)
+    @pl.when(liver[g] == 1)
+    def _():
+        rc = WT * WZ * SY
+        rr = jax.lax.broadcasted_iota(jnp.int32, (rc, 1), 0)
+        trow = (rr // (WZ * SY)).astype(jnp.float32)
+        zrow = ((rr // SY) % WZ).astype(jnp.float32)
+        yrow = (rr % SY).astype(jnp.float32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (SX, 1), 0).astype(jnp.float32)
 
-        w = _hat(trow - pts) * _hat(zrow - pzs) * _hat(yrow - pys)  # (rc, LANE)
-        fold = slab[slot, h, :, pl.ds(z0, WZ)].reshape(rc, SX)
-        acc = _dot3(fold, w)  # (SX, LANE)
-        wx = _hat(cols - pxs)
-        out[0, s : s + 1, :] = jnp.sum(acc * wx, axis=0, keepdims=True)
+        for s in range(ns):
+            h = shalfr[g * ns + s]
+            z0 = z0wr[g * ns + s]
+            pts = pt[0, s : s + 1, :].reshape(1, LANE)
+            pzs = pz[0, s : s + 1, :].reshape(1, LANE) - z0.astype(jnp.float32)
+            pys = py[0, s : s + 1, :].reshape(1, LANE)
+            pxs = px[0, s : s + 1, :].reshape(1, LANE)
+
+            w = _hat(trow - pts) * _hat(zrow - pzs) * _hat(yrow - pys)  # (rc, LANE)
+            fold = slab[slot, h, :, pl.ds(z0, WZ)].reshape(rc, SX)
+            acc = _dot3(fold, w)  # (SX, LANE)
+            wx = _hat(cols - pxs)
+            out[0, s : s + 1, :] = jnp.sum(acc * wx, axis=0, keepdims=True)
 
 
 def _run_kernel(data, plan):
@@ -475,7 +524,7 @@ def _run_kernel(data, plan):
         plan["t0"],
         o["z1"], o["y1"], o["x1"],
         o["z2"], o["y2"], o["x2"],
-        plan["dup"], plan["shalf"], plan["z0w"],
+        plan["dup"], plan["shalf"], plan["z0w"], plan["live"],
     )
     # (G, NS, LANE) with block (1, NS, LANE): the block's trailing dims match
     # the array's, satisfying Mosaic's (8, 128)-divisibility rule for blocks
@@ -483,7 +532,7 @@ def _run_kernel(data, plan):
 
     pos_spec = pl.BlockSpec((1, NS, LANE), lambda g, *refs: (g, 0, 0), memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=10,
+        num_scalar_prefetch=11,
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # field stays in HBM; slabs DMA'd
@@ -571,8 +620,8 @@ def binned_linear_sample(data, gpos):
     # (sub-block z/bin transition tails only), so the common tier must be
     # cheap — a fixed n/8 gather would cost more than the kernel itself
     # (measured: 44 ms at n=2M)
-    K_small = min(n, max(4096, n // 48))
-    K_big = min(n, max(4096, n // 8))
+    K_small = min(n, max(4096, n // _K_SMALL_DIV))
+    K_big = min(n, max(4096, n // _K_BIG_DIV))
 
     # stream compaction via cumsum + binary search: the j-th overflow lane is
     # the first position where cumsum reaches j+1. jnp.nonzero(size=K) (full

@@ -183,10 +183,13 @@ def test_slab_geometry_properties():
         WT, SZ, SY, SX, bz, by, bx = bs.slab_geometry(shape4, n)
         T, Z, Y, X = shape4
         assert WT == (1 if T == 1 else 2)
-        assert by + 9 <= SY  # 7 align slack + bin + stencil
-        assert bx + 129 <= SX
+        # containment: either the slab covers the whole (padded) axis (origin
+        # pinned at 0, single bin) or bin + stencil + alignment slack fits
+        Yp, Xp = -(-Y // 8) * 8, -(-X // 128) * 128
+        assert (SY >= Yp and by == Y) or by + 9 <= SY  # 7 align slack + bin + stencil
+        assert (SX >= Xp and bx == X) or bx + 129 <= SX
         if Z > 1:
-            assert bz + 1 <= SZ
+            assert (SZ >= Z and bz == Z) or bz + 1 <= SZ
         assert SY % 8 == 0 and SX % 128 == 0
 
 

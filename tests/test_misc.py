@@ -80,3 +80,28 @@ def test_context_constant_readable_and_guarded():
         fs.add_context("dres", 5.0)
     with pytest.raises(AttributeError, match="Cannot assign"):
         fs.dres = 7.0
+
+
+def test_profiling_trace_and_run_stats(tmp_path):
+    """SURVEY §5 observability: jax trace capture + per-execute metrics."""
+    from parcels_tpu import profiling
+    from parcels_tpu.kernels import AdvectionRK4
+
+    fs = FieldSet.from_sgrid_conventions(moving_eddy_dataset(), mesh="flat")
+    pset = ParticleSet(fs, x=[12000.0], y=[12500.0], t=[np.timedelta64(0, "s")])
+    logdir = str(tmp_path / "trace")
+    with profiling.trace(logdir):
+        with profiling.annotate("advect"):
+            pset.execute(
+                AdvectionRK4,
+                dt=np.timedelta64(5, "m"),
+                runtime=np.timedelta64(30, "m"),
+            )
+    import os
+
+    assert any("plugins" in r or f for r, d, f in os.walk(logdir)), "no trace written"
+    stats = pset.last_run_stats
+    assert stats["chunks"] >= 1
+    assert stats["particles"] == 1
+    assert stats["wall_s"] > 0
+    assert stats["particle_steps_per_s"] > 0
