@@ -164,6 +164,49 @@ class FieldSet:
             )
         object.__setattr__(self, name, value)
 
+    def __add__(self, other):
+        """Combine two FieldSets (reference fieldset.py:110-117): union of
+        fields and context constants; name collisions raise ValueError."""
+        if not isinstance(other, FieldSet):
+            return NotImplemented
+        common = set(self._fields) & set(other._fields)
+        if common:
+            raise ValueError(
+                "Cannot add FieldSets that have field names in common. "
+                f"Duplicate field names are: {sorted(common)}"
+            )
+        common_ctx = set(self.context) & set(other.context)
+        if common_ctx:
+            raise ValueError(
+                "Cannot add FieldSets that have context value names in common. "
+                f"Duplicate context value names are: {sorted(common_ctx)}"
+            )
+        # shallow-copy fields (sharing data/grid/interpolator) so add_field's
+        # igrid/back-pointer assignment cannot corrupt the source fieldsets
+        memo: dict = {}
+
+        def copy_field(f):
+            if id(f) in memo:
+                return memo[id(f)]
+            if isinstance(f, VectorField):
+                c = VectorField(
+                    f.name,
+                    copy_field(f.U),
+                    copy_field(f.V),
+                    copy_field(f.W) if f.W is not None else None,
+                    interp_method=f.interp_method,
+                )
+            else:
+                c = Field(f.name, f.data, f.grid, interp_method=f.interp_method)
+            memo[id(f)] = c
+            return c
+
+        combined = FieldSet()
+        for name, f in {**self._fields, **other._fields}.items():
+            combined.add_field(copy_field(f), name)
+        combined.context.update({**self.context, **other.context})
+        return combined
+
     @property
     def fields(self) -> dict:
         return self._fields
@@ -401,6 +444,22 @@ class FieldSet:
         if nlevels < 2:
             raise ValueError("Time window must hold at least 2 levels.")
         object.__setattr__(self, "_time_window", int(nlevels))
+        self._apply_time_window()
+        return self
+
+    def to_windowed_arrays(self, *, max_levels: int | None = None):
+        """Reference-named alias (fieldset.py:165): serve field data through a
+        rolling time window instead of resident-in-full; returns self for
+        chaining. ``max_levels`` caps the resident levels (default 2, the
+        reference's steady-state footprint). No-op when no field has more
+        time levels than the window, matching the reference's eager-field
+        pass-through."""
+        nlevels = max(2, max_levels or 2)
+        if all(g.time.shape[0] <= nlevels for g in self._gridset):
+            return self
+        return self.set_time_window(nlevels)
+
+    def _apply_time_window(self):
         import dataclasses
 
         for grid in self._gridset:

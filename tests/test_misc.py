@@ -105,3 +105,35 @@ def test_profiling_trace_and_run_stats(tmp_path):
     assert stats["particles"] == 1
     assert stats["wall_s"] > 0
     assert stats["particle_steps_per_s"] > 0
+
+
+def test_fieldset_add_combines_fields_and_context():
+    """FieldSet merging (reference fieldset.py:110-117 + test_fieldset.py)."""
+    from parcels_tpu import Field, FieldSet
+    from parcels_tpu.kernels import AdvectionRK4
+
+    fs1 = FieldSet.from_sgrid_conventions(moving_eddy_dataset(), mesh="flat")
+    fs2 = FieldSet()
+    fs2.add_constant_field("Kh", 10.0, mesh="flat")
+    fs2.add_context("dres", 0.01)
+    fs1.add_context("alpha", 2.0)
+
+    fs = fs1 + fs2
+    assert set(fs.fields) >= {"U", "V", "UV", "Kh"}
+    assert fs.dres == 0.01 and fs.alpha == 2.0
+    # sources unharmed: both still run / evaluate correctly
+    pset = ParticleSet(fs1, x=[12000.0], y=[12500.0], t=[np.timedelta64(0, "s")])
+    pset.execute(AdvectionRK4, dt=np.timedelta64(5, "m"), runtime=np.timedelta64(10, "m"))
+    assert np.asarray(fs2.Kh.eval(0.0, 0.0, 0.0, 0.0))[0] == 10.0
+    # the combined set samples fields from both sources
+    assert np.asarray(fs.Kh.eval(0.0, 0.0, 0.0, 0.0))[0] == 10.0
+    assert np.isfinite(np.asarray(fs.U.eval(0.0, 0.0, 12500.0, 12000.0))).all()
+    # collisions raise
+    import pytest
+
+    with pytest.raises(ValueError, match="field names in common"):
+        fs1 + fs1
+    fs3 = FieldSet()
+    fs3.add_context("alpha", 1.0)
+    with pytest.raises(ValueError, match="context value names in common"):
+        fs1 + fs3

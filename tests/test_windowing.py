@@ -112,3 +112,29 @@ def test_prefetch_mispredict_harmless():
     fs.prefetch_window(100 * 60.0)  # way off
     out = fs.windowed_arrays(0.0, 300.0)  # sync load still correct
     assert np.asarray(out["fields"]["U"]).shape[0] == 8
+
+
+def test_to_windowed_arrays_reference_alias():
+    """Reference API name (fieldset.py:165): chaining, idempotence, no-op on
+    fieldsets already smaller than the window."""
+    fs = FieldSet.from_sgrid_conventions(moving_eddy_dataset(), mesh="flat")
+    out = fs.to_windowed_arrays(max_levels=4)
+    assert out is fs
+    assert fs._time_window == 4
+    assert fs.to_windowed_arrays(max_levels=4) is fs  # idempotent
+    # trajectory parity with the resident run
+    from parcels_tpu import ParticleSet
+    from parcels_tpu.kernels import AdvectionRK4
+
+    fs2 = FieldSet.from_sgrid_conventions(moving_eddy_dataset(), mesh="flat")
+    p1 = ParticleSet(fs, x=[12000.0], y=[12500.0], t=[np.timedelta64(0, "s")])
+    p2 = ParticleSet(fs2, x=[12000.0], y=[12500.0], t=[np.timedelta64(0, "s")])
+    for p in (p1, p2):
+        p.execute(AdvectionRK4, dt=np.timedelta64(5, "m"), runtime=np.timedelta64(30, "m"))
+    np.testing.assert_allclose(p1.x, p2.x, rtol=1e-6)
+    # a 2-level fieldset is already <= the default window: no-op
+    from parcels_tpu.datasets import simple_UV_dataset
+
+    fs3 = FieldSet.from_sgrid_conventions(simple_UV_dataset(dims=(2, 2, 8, 8), mesh="flat"), mesh="flat")
+    assert fs3.to_windowed_arrays() is fs3
+    assert fs3._time_window is None
