@@ -62,6 +62,13 @@ class Field:
             raise ValueError(f"Field {self.name!r} is not part of a FieldSet")
         return self._fieldset.eval(self._registered_name, t, z, y, x)
 
+    def __getitem__(self, key):
+        """``field[particles]`` / ``field[t, z, y, x]`` sugar
+        (reference field.py:187-196)."""
+        if hasattr(key, "x") and hasattr(key, "t"):
+            return self.eval(key.t, key.z, key.y, key.x, key)
+        return self.eval(*key)
+
     def __repr__(self):
         return f"Field(name={self.name!r}, shape={self.data.shape})"
 
@@ -87,6 +94,12 @@ class VectorField:
         if self._fieldset is None:
             raise ValueError(f"VectorField {self.name!r} is not part of a FieldSet")
         return self._fieldset.eval(self._registered_name, t, z, y, x)
+
+    def __getitem__(self, key):
+        """``vf[particles]`` / ``vf[t, z, y, x]`` sugar (reference field.py:296-304)."""
+        if hasattr(key, "x") and hasattr(key, "t"):
+            return self.eval(key.t, key.z, key.y, key.x, key)
+        return self.eval(*key)
 
     @property
     def igrid(self):

@@ -167,6 +167,33 @@ class ParticleSet:
         for i in active:
             yield _ParticleRecord(data, int(i))
 
+    def __getitem__(self, index):
+        """Get a single particle by row index (reference particleset.py:165)."""
+        data = {
+            k: np.asarray(v)
+            for k, v in self._data.items()
+            if k not in ("_rng",) and np.asarray(v).ndim >= 1
+        }
+        return _ParticleRecord(data, int(index))
+
+    def set_variable_write_status(self, var: str, write_status: bool):
+        """Set whether ``var`` is written to trajectory output
+        (reference particleset.py:342-352)."""
+        names = [v.name for v in self._pclass.variables]
+        if var not in names:
+            raise ValueError(f"Particle class has no variable {var!r}")
+        if write_status not in (True, False):
+            raise ValueError(f"write_status must be True or False. Got {write_status!r}")
+        from parcels_tpu._core.particle import ParticleClass, Variable
+
+        new_vars = [
+            Variable(v.name, v.dtype, v.initial, write_status, v.attrs if write_status else None)
+            if v.name == var
+            else v
+            for v in self._pclass.variables
+        ]
+        self._pclass = ParticleClass(new_vars)
+
     @property
     def size(self):
         return len(self)

@@ -242,3 +242,30 @@ def test_pset_iteration_records():
     assert len(rows) == 3
     assert [float(r.x) for r in rows] == [100.0, 200.0, 300.0]
     assert "Particle(id=" in repr(rows[0])
+
+
+def test_getitem_and_write_status(tmp_path):
+    """Single-particle indexing + per-variable write toggling
+    (reference particleset.py:165, :342-352)."""
+    import parcels_tpu
+    from parcels_tpu import ParticleFile, read_particlefile
+    from parcels_tpu.kernels import AdvectionRK4
+
+    fs = _eddy_fs()
+    pset = parcels_tpu.ParticleSet(
+        fs, x=[12000.0, 13000.0], y=[12500.0, 12500.0], t=[np.timedelta64(0, "s")] * 2
+    )
+    p0 = pset[0]
+    assert p0.x == np.float32(12000.0) and p0.particle_id == 0
+    assert "Particle(id=0" in repr(p0)
+
+    pset.set_variable_write_status("z", False)
+    assert [v.to_write for v in pset._pclass.variables if v.name == "z"] == [False]
+    pf = ParticleFile(str(tmp_path / "t.parquet"), outputdt=np.timedelta64(10, "m"), mode="w")
+    pset.execute(AdvectionRK4, dt=np.timedelta64(5, "m"),
+                 runtime=np.timedelta64(20, "m"), output_file=pf)
+    pf.close()
+    df = read_particlefile(str(tmp_path / "t.parquet"))
+    assert "z" not in df.columns and "x" in df.columns
+    with pytest.raises(ValueError, match="no variable"):
+        pset.set_variable_write_status("nope", True)

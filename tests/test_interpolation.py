@@ -142,3 +142,20 @@ def test_interpolate_exactly_on_domain_edge():
     np.testing.assert_allclose(pset.x, x, atol=1e-6)
     np.testing.assert_allclose(pset.y, y, atol=1e-6)
     assert np.all(pset.t == 120.0)
+
+
+def test_host_field_getitem_sugar():
+    """field[t,z,y,x] and field[pset] host-side sampling sugar
+    (reference field.py:187-196, :296-304)."""
+    from parcels_tpu import FieldSet, ParticleSet
+    from parcels_tpu.datasets import moving_eddy_dataset
+
+    fs = FieldSet.from_sgrid_conventions(moving_eddy_dataset(), mesh="flat")
+    u1 = fs.U[0.0, 0.0, 12500.0, 12000.0]
+    u2 = fs.U.eval(0.0, 0.0, 12500.0, 12000.0)
+    np.testing.assert_array_equal(u1, u2)
+    uv = fs.UV[0.0, 0.0, 12500.0, 12000.0]
+    assert len(uv) == 2
+    pset = ParticleSet(fs, x=[12000.0], y=[12500.0], t=[np.timedelta64(0, "s")])
+    u3, v3 = fs.UV[pset]
+    np.testing.assert_allclose(u3, u1, rtol=1e-6)
