@@ -169,6 +169,14 @@ class XGrid(BaseGrid):
     def zdim(self) -> int:
         return self.spec.zdim
 
+    def get_axis_dim(self, axis: str) -> int:
+        """Cell count along an axis (reference xgrid.py:220-231)."""
+        if axis not in self.axes:
+            raise ValueError(
+                f"Axis {axis!r} is not part of this grid. Available axes: {self.axes}"
+            )
+        return {"X": self.spec.xdim, "Y": self.spec.ydim, "Z": self.spec.zdim}[axis]
+
     def get_axis_dim_mapping(self, dims) -> dict[str, str]:
         dim_to_axis = self.sgrid_metadata.dim_to_axis()
         out = {}

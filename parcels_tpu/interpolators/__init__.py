@@ -5,6 +5,13 @@ unstructured interpolators (UGRID support lands with UxGrid).
 """
 
 from parcels_tpu.interpolators._base import ScalarInterpolator, VectorInterpolator
+from parcels_tpu.interpolators.uxinterp import (
+    Ux_Velocity,
+    UxConstantFaceConstantZC,
+    UxConstantFaceLinearZF,
+    UxLinearNodeConstantZC,
+    UxLinearNodeLinearZF,
+)
 from parcels_tpu.interpolators.xinterp import (
     CGrid_Tracer,
     CGrid_Velocity,
@@ -18,6 +25,11 @@ from parcels_tpu.interpolators.xinterp import (
 )
 
 __all__ = [
+    "Ux_Velocity",
+    "UxConstantFaceConstantZC",
+    "UxConstantFaceLinearZF",
+    "UxLinearNodeConstantZC",
+    "UxLinearNodeLinearZF",
     "CGrid_Tracer",
     "CGrid_Velocity",
     "ScalarInterpolator",

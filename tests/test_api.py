@@ -138,3 +138,16 @@ def test_open_raw_zarr_alias(tmp_path):
 def test_logger_is_package_logger():
     assert isinstance(parcels_tpu.logger, logging.Logger)
     assert parcels_tpu.logger.name == "parcels_tpu"
+
+
+def test_reference_interpolator_names_importable():
+    import parcels_tpu.interpolators as interp
+
+    ref = [
+        "CGrid_Tracer", "CGrid_Velocity", "XConstantField", "XFreeslip",
+        "XLinear", "XLinearInvdistLandTracer", "XLinear_Velocity", "XNearest",
+        "XPartialslip", "Ux_Velocity", "UxConstantFaceConstantZC",
+        "UxConstantFaceLinearZF", "UxLinearNodeConstantZC", "UxLinearNodeLinearZF",
+    ]
+    missing = [n for n in ref if n not in interp.__all__ or not hasattr(interp, n)]
+    assert not missing, missing
