@@ -90,8 +90,14 @@ def bench_tpu(npart: int, steps: int, dt: float = 60.0) -> float:
     from parcels_tpu.datasets import moving_eddy_dataset
 
     fs = FieldSet.from_sgrid_conventions(moving_eddy_dataset(), mesh="flat")
+    # lockstep_w=4: all particles release at t=0 with uniform dt=60 s over
+    # 60 s field levels, so evaluated lanes bracket within ceil(dt/gap)+2 = 3
+    # levels — same value ParticleSet._lockstep_window derives. This enables
+    # the cond-free windowed sampler (the public execute() path does this
+    # automatically; the bench drives the executor directly).
     executor = build_chunk_executor(
-        (AdvectionRK4,), fs, sign_dt=1, rk45_mode=False, donate=False, block_size=block_size
+        (AdvectionRK4,), fs, sign_dt=1, rk45_mode=False, donate=False,
+        block_size=block_size, lockstep_w=4,
     )
     farrays = fs.device_arrays()
     pdata = _device_pdata(npart)

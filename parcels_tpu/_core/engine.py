@@ -170,6 +170,7 @@ def build_chunk_executor(
     rk45_mode: bool,
     donate: bool = True,
     block_size: int | None = None,
+    lockstep_w: int = 0,
 ):
     """Compile a chunk executor: (farrays, pdata, endtime, dt0) -> pdata.
 
@@ -215,7 +216,7 @@ def build_chunk_executor(
         if n <= block_size:
             out = _run_block(
                 fsview, dict(pdata), endtime, dt0, kernel_fns, sign_dt, rk45_mode,
-                sorting, resort,
+                sorting, resort, lockstep_w,
             )
             return finish(out)
 
@@ -236,7 +237,7 @@ def build_chunk_executor(
         out = jax.lax.map(
             lambda pd: _run_block(
                 fsview, dict(pd), endtime, dt0, kernel_fns, sign_dt, rk45_mode,
-                sorting, resort,
+                sorting, resort, lockstep_w,
             ),
             blocked,
         )
@@ -261,7 +262,7 @@ def compute_loop_masks(pd, endtime, sign_dt):
 
 def _run_block(
     fsview, pdata, endtime, dt0, kernel_fns, sign_dt, rk45_mode,
-    sorted_hint=False, resort=None,
+    sorted_hint=False, resort=None, lockstep_w=0,
 ):
     """The full inner time loop for one particle block (traced)."""
     # Chunk start: active particles are (re)queued for evaluation
@@ -277,7 +278,9 @@ def _run_block(
         return jnp.any(busy) & ~jnp.any(halt)
 
     def body(pd):
-        pd = engine_step(fsview, pd, endtime, dt0, kernel_fns, sign_dt, rk45_mode, sorted_hint)
+        pd = engine_step(
+            fsview, pd, endtime, dt0, kernel_fns, sign_dt, rk45_mode, sorted_hint, lockstep_w
+        )
         if resort is not None:
             pd = dict(pd)
             it = pd["_it"] + 1
@@ -292,7 +295,10 @@ def _run_block(
     return out
 
 
-def engine_step(fsview, pd, endtime, dt0, kernel_fns, sign_dt, rk45_mode, sorted_hint=False):
+def engine_step(
+    fsview, pd, endtime, dt0, kernel_fns, sign_dt, rk45_mode,
+    sorted_hint=False, lockstep_w=0,
+):
     """One iteration of the inner loop: kernel chain + state machine update."""
     pd = dict(pd)
     act = pd["_active"]
@@ -310,7 +316,7 @@ def engine_step(fsview, pd, endtime, dt0, kernel_fns, sign_dt, rk45_mode, sorted
     # Kernel chain; each kernel is followed by masked Repeat
     # resubmission (RK45 adaptive dt, reference kernel.py:208-218).
     for f in kernel_fns:
-        view = Particles(pd, eval_mask, sorted_hint)
+        view = Particles(pd, eval_mask, sorted_hint, lockstep_w)
         f(view, fsview)
 
         def rcond(pdd):

@@ -169,8 +169,12 @@ class VectorFieldView:
     def eval(self, t, z, y, x, particles: Particles | None = None):
         ppos, gpos = _get_positions(self.U, t, z, y, x, particles)
         u, v, w = self.interp_method.interp(ppos, gpos, self)
-        for vel in (u, v, w):
-            _update_state_interp_value(particles, vel)
+        if particles is not None:
+            # one combined NaN check -> one masked state write (not three)
+            bad = jnp.isnan(u) | jnp.isnan(v)
+            if w is not None and jnp.ndim(w) > 0:
+                bad = bad | jnp.isnan(w)
+            _escalate(particles, bad, StatusCode.ErrorInterpolation)
         u = _mask_oob_values(gpos, u)
         v = _mask_oob_values(gpos, v)
         w = _mask_oob_values(gpos, w)
@@ -210,11 +214,17 @@ def _get_positions(field: FieldView, t, z, y, x, particles: Particles | None):
     gpos["T"] = {"index": ti, "bcoord": tau}
     # static hint: SoA is engine-sorted -> binned slab sampler applies
     gpos["_sorted"] = bool(particles is not None and getattr(particles, "_sorted_hint", False))
-    if particles is not None and "_active" in particles._data:
-        # lane-activity mask: the binned sampler skips all-inactive chunks
-        # (capacity padding sorts to the tail) and drops dead lanes from
-        # its overflow budget
-        gpos["active"] = particles._data["_active"]
+    # static hint: evaluated lanes bracket within this many time levels ->
+    # cond-free windowed sampling (interp_kernels.linear_sample_windowed)
+    gpos["_lockstep"] = int(getattr(particles, "_lockstep_hint", 0) or 0)
+    if particles is not None:
+        # evaluation mask: lanes whose sampled values are actually merged
+        gpos["mask"] = particles._mask
+        if "_active" in particles._data:
+            # lane-activity mask: the binned sampler skips all-inactive
+            # chunks (capacity padding sorts to the tail) and drops dead
+            # lanes from its overflow budget
+            gpos["active"] = particles._data["_active"]
 
     if particles is not None:
         _update_particles_ei(particles, gpos, field)
@@ -231,6 +241,8 @@ def _update_particles_ei(particles: Particles, gpos, field: FieldView):
         fi = jnp.clip(gpos["FACE"]["index"], 0, spec.n_face - 1)
         particles._set_ei(field.igrid, fi)
         return
+    if _ei_cache_pointless(spec, field):
+        return
     ydim = max(spec.ydim, 1)
     xdim = max(spec.xdim, 1)
     zi = jnp.clip(gpos["Z"]["index"], 0, max(spec.zdim - 1, 0))
@@ -238,6 +250,23 @@ def _update_particles_ei(particles: Particles, gpos, field: FieldView):
     xi = jnp.clip(gpos["X"]["index"], 0, max(spec.xdim - 1, 0))
     ei = (zi * ydim + yi) * xdim + xi
     particles._set_ei(field.igrid, ei)
+
+
+def _ei_cache_pointless(spec, field: FieldView) -> bool:
+    """True when the warm-start/sort-key ei cache buys nothing for this grid:
+    uniform rectilinear axes make the search O(1) arithmetic, and a VMEM-fold
+    field never enters the binned sampler. Skipping the per-sample (n, 1)
+    dynamic_update_slice removes ~15% of small-field step time (trace:
+    dynamic_update_slice was the #2 device cost)."""
+    from parcels_tpu.ops.interp_kernels import fits_fast_path
+
+    return (
+        not spec.curvilinear
+        and spec.lon_uniform is not None
+        and spec.lat_uniform is not None
+        and (spec.zdim <= 1 or spec.depth_uniform is not None)
+        and fits_fast_path(field.data.shape)
+    )
 
 
 def _escalate(particles: Particles, cond, code):
@@ -248,18 +277,30 @@ def _escalate(particles: Particles, cond, code):
 
 
 def _update_state_position(particles: Particles, gpos, t_oob):
-    """State escalation from search sentinels (reference field.py:327-357)."""
+    """State escalation from search sentinels (reference field.py:327-357).
+
+    All sentinel conditions merge into ONE masked state write: each write
+    through the view costs a full (n,) where-merge pass, so batching the
+    5-6 escalations into a single maximum keeps this at one pass.
+    """
+    esc = jnp.int32(0)
+
+    def mark(cond, code):
+        nonlocal esc
+        esc = jnp.maximum(esc, jnp.where(cond, jnp.int32(code), jnp.int32(0)))
+
     for dim in ("X", "Y", "FACE"):
         if dim not in gpos:
             continue
         idx = gpos[dim]["index"]
-        _escalate(particles, idx == index_search.RIGHT_OUT_OF_BOUNDS, StatusCode.ErrorOutOfBounds)
-        _escalate(particles, idx == index_search.GRID_SEARCH_ERROR, StatusCode.ErrorGridSearching)
+        mark(idx == index_search.RIGHT_OUT_OF_BOUNDS, StatusCode.ErrorOutOfBounds)
+        mark(idx == index_search.GRID_SEARCH_ERROR, StatusCode.ErrorGridSearching)
     zidx = gpos["Z"]["index"]
-    _escalate(particles, zidx == index_search.RIGHT_OUT_OF_BOUNDS, StatusCode.ErrorOutOfBounds)
-    _escalate(particles, zidx == index_search.LEFT_OUT_OF_BOUNDS, StatusCode.ErrorThroughSurface)
+    mark(zidx == index_search.RIGHT_OUT_OF_BOUNDS, StatusCode.ErrorOutOfBounds)
+    mark(zidx == index_search.LEFT_OUT_OF_BOUNDS, StatusCode.ErrorThroughSurface)
     if t_oob is not None:
-        _escalate(particles, t_oob, StatusCode.ErrorOutsideTimeInterval)
+        mark(t_oob, StatusCode.ErrorOutsideTimeInterval)
+    particles.state = jnp.maximum(particles.state, esc)
 
 
 def _update_state_interp_value(particles: Particles | None, value):

@@ -19,14 +19,18 @@ __all__ = ["Particles"]
 class Particles:
     """Masked write-through view over the particle SoA used inside kernels."""
 
-    __slots__ = ("_data", "_mask", "_sorted_hint")
+    __slots__ = ("_data", "_mask", "_sorted_hint", "_lockstep_hint")
 
-    def __init__(self, data: dict, mask, sorted_hint: bool = False):
+    def __init__(self, data: dict, mask, sorted_hint: bool = False, lockstep_hint: int = 0):
         object.__setattr__(self, "_data", data)
         object.__setattr__(self, "_mask", mask)
         # static trace-time hint: the engine keeps the SoA spatially sorted,
         # enabling the binned slab sampler (ops/binned_sample.py)
         object.__setattr__(self, "_sorted_hint", sorted_hint)
+        # static trace-time hint: evaluated lanes bracket within this many
+        # time levels, enabling the cond-free windowed sample
+        # (ops/interp_kernels.py linear_sample_windowed)
+        object.__setattr__(self, "_lockstep_hint", lockstep_hint)
 
     def __getattr__(self, name):
         try:

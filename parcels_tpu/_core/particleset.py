@@ -362,6 +362,7 @@ class ParticleSet:
         _warn_outputdt_release_desync(outputdt, start_time, release_t)
 
         rk45_mode = "RK45_tol" in self.fieldset.context
+        lockstep_w = self._lockstep_window(dt, rk45_mode)
         pmesh = getattr(self, "_pmesh", None)
         domain = getattr(self, "_domain", None)
         windowed = self.fieldset._time_window is not None
@@ -378,11 +379,15 @@ class ParticleSet:
             farrays = None if windowed else domain.stacked_farrays()
             dev = domain.shard_soa(self._data)
         elif pmesh is not None:
-            executor = self._get_executor(tuple(kernels), sign_dt, rk45_mode, blocked=False)
+            executor = self._get_executor(
+                tuple(kernels), sign_dt, rk45_mode, blocked=False, lockstep_w=lockstep_w
+            )
             farrays = None if windowed else pmesh.shard_fields(self.fieldset.device_arrays())
             dev = pmesh.shard_soa(self._data)
         else:
-            executor = self._get_executor(tuple(kernels), sign_dt, rk45_mode, blocked=True)
+            executor = self._get_executor(
+                tuple(kernels), sign_dt, rk45_mode, blocked=True, lockstep_w=lockstep_w
+            )
             from parcels_tpu._core.engine import DEFAULT_BLOCK_SIZE, _sort_mode_enabled
 
             self._pad_capacity(DEFAULT_BLOCK_SIZE)
@@ -560,8 +565,62 @@ class ParticleSet:
         out["_active"][n:] = False
         self._data = out
 
-    def _get_executor(self, kernels: tuple, sign_dt: int, rk45_mode: bool, blocked: bool = True):
-        key = (kernels, sign_dt, rk45_mode, blocked, id(self._pclass))
+    def _lockstep_window(self, dt: float, rk45_mode: bool) -> int:
+        """Static time-window size W proving this run's evaluated lanes always
+        bracket within W field levels (0 = no proof -> exact cond path).
+
+        Evaluated lanes march in lockstep (uniform dt; per-lane dt exists
+        only in RK45 mode, which disables this), so their sample-time spread
+        never exceeds the release-time spread plus one dt. Covering that
+        span with hat rows lets the sampler drop the per-sample lax.cond
+        whose fusion barrier costs ~5.7x step time (interp_kernels).
+        """
+        if rk45_mode:
+            return 0
+        from parcels_tpu._core.field import Field, VectorField
+        from parcels_tpu.ops.interp_kernels import (
+            TIME_WINDOW,
+            fits_fast_path,
+            max_lockstep_window,
+        )
+
+        act = np.asarray(self._data["_active"])
+        if not act.any():
+            return 0
+        t = np.asarray(self._data["t"])[act]
+        t = t[np.isfinite(t)]
+        spread = (float(t.max() - t.min()) if t.size else 0.0) + abs(float(dt))
+
+        W_req = 2
+        fast_shapes = []
+        for f in self.fieldset.fields.values():
+            cand = f.U if isinstance(f, VectorField) else f
+            if not isinstance(cand, Field) or getattr(cand.data, "ndim", 0) != 4:
+                continue
+            if not fits_fast_path(cand.data.shape) or cand.data.shape[0] <= 1:
+                continue
+            fast_shapes.append(cand.data.shape)
+            lv = np.asarray(cand.grid.time, dtype=np.float64)
+            if lv.size <= 1:
+                continue
+            gaps = np.diff(lv)
+            min_gap = float(gaps.min()) if gaps.size else np.inf
+            if min_gap <= 0 or not np.isfinite(min_gap):
+                return 0
+            W_req = max(W_req, int(np.ceil(spread / min_gap)) + 2)
+        if not fast_shapes:
+            return 0
+        # bucket to powers of two (bounded recompiles across chunks)
+        W = max(TIME_WINDOW, 1 << (W_req - 1).bit_length())
+        if any(W > max_lockstep_window(sh) for sh in fast_shapes):
+            return 0
+        return W
+
+    def _get_executor(
+        self, kernels: tuple, sign_dt: int, rk45_mode: bool, blocked: bool = True,
+        lockstep_w: int = 0,
+    ):
+        key = (kernels, sign_dt, rk45_mode, blocked, lockstep_w, id(self._pclass))
         cache = self.fieldset._executor_cache
         if key not in cache:
             # donate=False keeps pre-chunk snapshots valid for the async
@@ -573,6 +632,7 @@ class ParticleSet:
                 rk45_mode=rk45_mode,
                 donate=False,
                 block_size=None if blocked else 2**62,
+                lockstep_w=lockstep_w,
             )
         return cache[key]
 

@@ -313,9 +313,11 @@ class CGrid_Velocity(VectorInterpolator):  # noqa: N801
                 "Y": {"index": y_ix, "bcoord": yb},
                 "X": {"index": x_ix, "bcoord": xb},
                 "_sorted": srt,
+                "_lockstep": gpos.get("_lockstep", 0),
             }
-            if "active" in gpos:
-                pseudo["active"] = gpos["active"]
+            for k in ("active", "mask"):
+                if k in gpos:
+                    pseudo[k] = gpos[k]
             return _linear_sample(data, pseudo, blend)
 
         zero = jnp.zeros_like(xsi)
