@@ -369,11 +369,12 @@ class ParticleSet:
         if domain is not None:
             from parcels_tpu.parallel.domain import build_domain_executor
 
-            key = (tuple(kernels), sign_dt, rk45_mode, "domain", id(domain))
+            key = (tuple(kernels), sign_dt, rk45_mode, "domain", lockstep_w, id(domain))
             cache = self.fieldset._executor_cache
             if key not in cache:
                 cache[key] = build_domain_executor(
-                    tuple(kernels), domain, sign_dt=sign_dt, rk45_mode=rk45_mode
+                    tuple(kernels), domain, sign_dt=sign_dt, rk45_mode=rk45_mode,
+                    lockstep_w=lockstep_w,
                 )
             executor = cache[key]
             farrays = None if windowed else domain.stacked_farrays()

@@ -599,7 +599,9 @@ def _migrate_curvilinear(pd: dict, dom: "YBandDomain", axis: str, n_dev: int, ca
 # ---------------------------------------------------------------------------
 
 
-def build_domain_executor(kernel_fns, dom: YBandDomain, *, sign_dt: int, rk45_mode: bool):
+def build_domain_executor(
+    kernel_fns, dom: YBandDomain, *, sign_dt: int, rk45_mode: bool, lockstep_w: int = 0
+):
     """Compile the multi-device chunk executor for a Y-band decomposition.
 
     Same call signature as the single-device executor
@@ -640,7 +642,10 @@ def build_domain_executor(kernel_fns, dom: YBandDomain, *, sign_dt: int, rk45_mo
                 return (busy_any > 0) & (halt_any == 0)
 
             def body(pd):
-                pd = engine_step(fsview, pd, endtime, dt0, kernel_fns, sign_dt, rk45_mode)
+                pd = engine_step(
+                    fsview, pd, endtime, dt0, kernel_fns, sign_dt, rk45_mode,
+                    lockstep_w=lockstep_w,
+                )
                 if dom.curvilinear:
                     return _migrate_curvilinear(pd, dom, axis, n_dev, cap)
                 return _migrate(pd, band_lo, band_hi, axis, n_dev, cap)
