@@ -269,3 +269,31 @@ def test_getitem_and_write_status(tmp_path):
     assert "z" not in df.columns and "x" in df.columns
     with pytest.raises(ValueError, match="no variable"):
         pset.set_variable_write_status("nope", True)
+
+
+def test_lockstep_window_adapts_and_matches_exact_path():
+    """The cond-free lockstep sampler must reproduce the exact path for
+    staggered releases, with W adapting to the release spread."""
+    from parcels_tpu.kernels import AdvectionRK4
+
+    def run(spread, force_exact=False):
+        fs = _eddy_fs()
+        n = 6
+        t0 = np.linspace(0.0, spread, n)
+        ps = ParticleSet(fs, x=np.full(n, 12000.0), y=np.full(n, 12500.0), t=t0)
+        if force_exact:
+            ps._lockstep_window = lambda dt, rk: 0
+        W = ps._lockstep_window(60.0, False)
+        ps.execute(AdvectionRK4, dt=np.timedelta64(60, "s"), runtime=np.timedelta64(1, "h"))
+        return W, np.asarray(ps.x)
+
+    W0, x0 = run(0.0)
+    assert W0 == 4
+    W1, x1 = run(600.0)
+    assert W1 > 4
+    _, x1_exact = run(600.0, force_exact=True)
+    np.testing.assert_array_equal(x1, x1_exact)
+    # rk45 mode disables the proof
+    fs = _eddy_fs()
+    ps = ParticleSet(fs, x=[12000.0], y=[12500.0], t=[0.0])
+    assert ps._lockstep_window(60.0, True) == 0
