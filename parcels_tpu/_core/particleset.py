@@ -168,13 +168,19 @@ class ParticleSet:
             yield _ParticleRecord(data, int(i))
 
     def __getitem__(self, index):
-        """Get a single particle by row index (reference particleset.py:165)."""
+        """Get a single ACTIVE particle by index (reference particleset.py:165).
+
+        Indexing is active-relative, consistent with ``__iter__``,
+        ``remove_indices`` and ``data_indices`` — capacity-padding and
+        deleted lanes are not addressable.
+        """
         data = {
             k: np.asarray(v)
             for k, v in self._data.items()
             if k not in ("_rng",) and np.asarray(v).ndim >= 1
         }
-        return _ParticleRecord(data, int(index))
+        active = np.flatnonzero(data["_active"])
+        return _ParticleRecord(data, int(active[int(index)]))
 
     def set_variable_write_status(self, var: str, write_status: bool):
         """Set whether ``var`` is written to trajectory output
@@ -186,12 +192,14 @@ class ParticleSet:
             raise ValueError(f"write_status must be True or False. Got {write_status!r}")
         from parcels_tpu._core.particle import ParticleClass, Variable
 
-        new_vars = [
-            Variable(v.name, v.dtype, v.initial, write_status, v.attrs if write_status else None)
-            if v.name == var
-            else v
-            for v in self._pclass.variables
-        ]
+        def toggled(v):
+            nv = Variable(v.name, v.dtype, v.initial, write_status, None)
+            # keep CF attrs through a disable/enable cycle (the constructor
+            # guard forbids attrs on non-written vars, but they must survive)
+            nv.attrs = dict(v.attrs)
+            return nv
+
+        new_vars = [toggled(v) if v.name == var else v for v in self._pclass.variables]
         self._pclass = ParticleClass(new_vars)
 
     @property
@@ -362,7 +370,7 @@ class ParticleSet:
         _warn_outputdt_release_desync(outputdt, start_time, release_t)
 
         rk45_mode = "RK45_tol" in self.fieldset.context
-        lockstep_w = self._lockstep_window(dt, rk45_mode)
+        lockstep_w = self._lockstep_window(dt, rk45_mode, tuple(kernels))
         pmesh = getattr(self, "_pmesh", None)
         domain = getattr(self, "_domain", None)
         windowed = self.fieldset._time_window is not None
@@ -566,17 +574,59 @@ class ParticleSet:
         out["_active"][n:] = False
         self._data = out
 
-    def _lockstep_window(self, dt: float, rk45_mode: bool) -> int:
+    def _kernels_write_time_vars(self, kernels: tuple) -> bool:
+        """Trace-time probe: does any kernel write ``particles.t`` or
+        ``particles.dt``? Per-lane dt/t writes (e.g. AdvectionAnalytical's
+        cell-transit dt, or custom kernels) break the uniform-march premise
+        of the lockstep window, so they force the exact cond sampling path.
+        """
+        cache = self.fieldset.__dict__.setdefault("_kernel_write_cache", {})
+        if kernels in cache:
+            return cache[kernels]
+        from parcels_tpu._core.particles_view import Particles
+
+        written: set = set()
+
+        class _Recorder(Particles):
+            def __setattr__(self, name, value):
+                written.add(name)
+                Particles.__setattr__(self, name, value)
+
+        farrays = self.fieldset.device_arrays()
+        shapes = {
+            k: jax.ShapeDtypeStruct(np.shape(v), np.asarray(v).dtype)
+            for k, v in self._data.items()
+        }
+
+        def probe(pd):
+            fsview = self.fieldset.build_views(farrays)
+            view = _Recorder(pd, pd["_active"])
+            for f in kernels:
+                f(view, fsview)
+            return pd["t"]
+
+        try:
+            jax.eval_shape(probe, shapes)
+            result = bool({"t", "dt"} & written)
+        except Exception:
+            result = True  # unprobeable kernel: assume the worst
+        cache[kernels] = result
+        return result
+
+    def _lockstep_window(self, dt: float, rk45_mode: bool, kernels: tuple = ()) -> int:
         """Static time-window size W proving this run's evaluated lanes always
         bracket within W field levels (0 = no proof -> exact cond path).
 
-        Evaluated lanes march in lockstep (uniform dt; per-lane dt exists
-        only in RK45 mode, which disables this), so their sample-time spread
-        never exceeds the release-time spread plus one dt. Covering that
-        span with hat rows lets the sampler drop the per-sample lax.cond
-        whose fusion barrier costs ~5.7x step time (interp_kernels).
+        Evaluated lanes march in lockstep (uniform dt), so their sample-time
+        spread never exceeds the release-time spread plus one dt. Covering
+        that span with hat rows lets the sampler drop the per-sample
+        lax.cond whose fusion barrier costs ~5.7x step time (interp_kernels).
+        The premise is verified, not assumed: RK45 mode and any kernel the
+        trace probe sees writing ``t``/``dt`` per-lane disable the proof.
         """
         if rk45_mode:
+            return 0
+        if kernels and self._kernels_write_time_vars(tuple(kernels)):
             return 0
         from parcels_tpu._core.field import Field, VectorField
         from parcels_tpu.ops.interp_kernels import (
@@ -594,8 +644,13 @@ class ParticleSet:
 
         W_req = 2
         fast_shapes = []
+        components = []
         for f in self.fieldset.fields.values():
-            cand = f.U if isinstance(f, VectorField) else f
+            if isinstance(f, VectorField):
+                components += [c for c in (f.U, f.V, f.W) if c is not None]
+            else:
+                components.append(f)
+        for cand in components:
             if not isinstance(cand, Field) or getattr(cand.data, "ndim", 0) != 4:
                 continue
             if not fits_fast_path(cand.data.shape) or cand.data.shape[0] <= 1:

@@ -282,7 +282,7 @@ def test_lockstep_window_adapts_and_matches_exact_path():
         t0 = np.linspace(0.0, spread, n)
         ps = ParticleSet(fs, x=np.full(n, 12000.0), y=np.full(n, 12500.0), t=t0)
         if force_exact:
-            ps._lockstep_window = lambda dt, rk: 0
+            ps._lockstep_window = lambda dt, rk, kernels=(): 0
         W = ps._lockstep_window(60.0, False)
         ps.execute(AdvectionRK4, dt=np.timedelta64(60, "s"), runtime=np.timedelta64(1, "h"))
         return W, np.asarray(ps.x)
@@ -297,3 +297,39 @@ def test_lockstep_window_adapts_and_matches_exact_path():
     fs = _eddy_fs()
     ps = ParticleSet(fs, x=[12000.0], y=[12500.0], t=[0.0])
     assert ps._lockstep_window(60.0, True) == 0
+
+
+def test_lockstep_disabled_for_dt_writing_kernels():
+    """Kernels that write per-lane dt/t (AdvectionAnalytical, custom) must
+    disable the lockstep proof — the trace probe detects the write."""
+    from parcels_tpu.kernels import AdvectionAnalytical, AdvectionRK4
+
+    fs = _eddy_fs()
+    ps = ParticleSet(fs, x=[12000.0], y=[12500.0], t=[0.0])
+    assert ps._lockstep_window(60.0, False, (AdvectionRK4,)) > 0
+    assert ps._lockstep_window(60.0, False, (AdvectionAnalytical,)) == 0
+
+    def SetsDt(particles, fieldset):
+        particles.dt = particles.dt * 0.5
+
+    assert ps._lockstep_window(60.0, False, (AdvectionRK4, SetsDt)) == 0
+
+
+def test_getitem_is_active_relative():
+    fs = _eddy_fs()
+    ps = ParticleSet(fs, x=[12000.0, 12100.0, 12200.0], y=[12500.0] * 3, t=[0.0] * 3)
+    ps.remove_indices([1])
+    assert ps[1].x == np.float32(12200.0)  # skips the deleted lane
+    with pytest.raises(IndexError):
+        ps[2]
+
+
+def test_write_status_roundtrip_preserves_attrs():
+    fs = _eddy_fs()
+    ps = ParticleSet(fs, x=[12000.0], y=[12500.0], t=[0.0])
+    before = next(v.attrs for v in ps._pclass.variables if v.name == "z")
+    assert before, "default z variable should carry CF attrs"
+    ps.set_variable_write_status("z", False)
+    ps.set_variable_write_status("z", True)
+    after = next(v.attrs for v in ps._pclass.variables if v.name == "z")
+    assert after == before

@@ -99,7 +99,12 @@ def test_profiling_trace_and_run_stats(tmp_path):
             )
     import os
 
-    assert any("plugins" in r or f for r, d, f in os.walk(logdir)), "no trace written"
+    trace_files = [
+        os.path.join(r, name) for r, _, files in os.walk(logdir) for name in files
+    ]
+    assert any(name.endswith((".pb", ".json.gz", ".json")) for name in trace_files), (
+        f"no trace written: {trace_files}"
+    )
     stats = pset.last_run_stats
     assert stats["chunks"] >= 1
     assert stats["particles"] == 1
