@@ -13,7 +13,8 @@ import pytest
 import jax.numpy as jnp
 
 from parcels_tpu import FieldSet, ParticleSet
-from parcels_tpu.datasets.structured import curvilinear_rotated_dataset
+from parcels_tpu import xrlite as xr
+from parcels_tpu.datasets.structured import _wrap_sgrid, curvilinear_rotated_dataset
 from parcels_tpu.kernels import AdvectionEE, AdvectionRK4
 
 
@@ -152,3 +153,54 @@ def test_cgrid_velocity_on_curvilinear_grid():
     # displacement u0*t along the rotated +x direction
     np.testing.assert_allclose(pset.x, x0 + np.cos(th) * u0 * runtime, rtol=1e-4)
     np.testing.assert_allclose(pset.y, y0 + np.sin(th) * u0 * runtime, rtol=1e-4)
+
+
+def test_antimeridian_curvilinear_search_and_advection():
+    """Cells straddling the 180-degree meridian (wrapped lon storage): both
+    search and cross-seam advection must be seam-transparent (reference
+    index_search.py:171-239 tangent-plane projection is 360-periodic)."""
+    xdim, ydim, sp = 20, 10, 0.4
+    xg, yg = np.meshgrid(np.arange(xdim) * sp, np.arange(ydim) * sp)
+    lon2d = 176.0 + xg  # 176 .. 183.6 across the seam
+    lon2d = np.where(lon2d > 180.0, lon2d - 360.0, lon2d)
+    lat2d = 45.0 + yg
+    U = np.ones((2, 1, ydim, xdim), np.float32)
+    V = np.zeros((2, 1, ydim, xdim), np.float32)
+    time = np.array([np.timedelta64(0, "s"), np.timedelta64(10, "D")])
+    ds = xr.Dataset(
+        {"U": (["time", "depth", "YG", "XG"], U), "V": (["time", "depth", "YG", "XG"], V)},
+        coords={
+            "time": (["time"], time, {"axis": "T"}),
+            "depth": (["depth"], np.array([0.0]), {"axis": "Z"}),
+            "YC": (["YC"], np.arange(ydim) + 0.5, {"axis": "Y"}),
+            "YG": (["YG"], np.arange(ydim, dtype=np.float64), {"axis": "Y"}),
+            "XC": (["XC"], np.arange(xdim) + 0.5, {"axis": "X"}),
+            "XG": (["XG"], np.arange(xdim, dtype=np.float64), {"axis": "X"}),
+            "lat": (["YG", "XG"], lat2d, {"axis": "Y", "units": "degrees_north"}),
+            "lon": (["YG", "XG"], lon2d, {"axis": "X", "units": "degrees_east"}),
+        },
+    )
+    ds = _wrap_sgrid(ds, xdim, ydim)
+    fs = FieldSet.from_sgrid_conventions(ds)
+    grid = fs.gridset[0]
+    view = grid.make_view(grid.device_arrays())
+
+    qx = np.array([179.8, -179.8], np.float32)  # one cell west / east of the seam
+    qy = np.array([45.2, 45.2], np.float32)
+    gpos = view.search(jnp.zeros(2, jnp.float32), jnp.asarray(qy), jnp.asarray(qx))
+    np.testing.assert_array_equal(np.asarray(gpos["X"]["index"]), [9, 10])
+    np.testing.assert_array_equal(np.asarray(gpos["Y"]["index"]), [0, 0])
+
+    # advect eastward across the seam: uniform u=1 m/s at 45.2N for 1 day
+    from parcels_tpu._core.mesh import EARTH_RADIUS
+
+    pset = ParticleSet(fs, x=[179.8], y=[45.2], t=[np.timedelta64(0, "s")])
+    pset.execute(AdvectionRK4, dt=np.timedelta64(10, "m"), runtime=np.timedelta64(1, "D"))
+    deg_per_day = 86400.0 / (EARTH_RADIUS * np.pi / 180.0 * np.cos(np.deg2rad(45.2)))
+    expected = 179.8 + deg_per_day
+    x_end = float(pset.x[0])
+    x_end_wrapped = x_end if x_end <= 180 else x_end - 360.0
+    exp_wrapped = expected if expected <= 180 else expected - 360.0
+    assert expected > 180.0, "flow must actually cross the seam"
+    np.testing.assert_allclose(x_end_wrapped, exp_wrapped, atol=5e-3)
+    assert float(pset.y[0]) == pytest.approx(45.2, abs=1e-3)
