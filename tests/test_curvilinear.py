@@ -204,3 +204,42 @@ def test_antimeridian_curvilinear_search_and_advection():
     assert expected > 180.0, "flow must actually cross the seam"
     np.testing.assert_allclose(x_end_wrapped, exp_wrapped, atol=5e-3)
     assert float(pset.y[0]) == pytest.approx(45.2, abs=1e-3)
+
+
+def test_near_pole_curvilinear_search():
+    """High-latitude (89.9N) curvilinear search: the tangent-plane bilinear
+    inverse must stay well-conditioned near the pole (reference
+    index_search.py:171-239)."""
+    xdim, ydim = 36, 8
+    lon1d = np.linspace(-180, 170, xdim)
+    lat1d = np.linspace(89.0, 89.9, ydim)
+    lon2d, lat2d = np.meshgrid(lon1d, lat1d)
+    U = np.ones((2, 1, ydim, xdim), np.float32)
+    V = np.zeros((2, 1, ydim, xdim), np.float32)
+    time = np.array([np.timedelta64(0, "s"), np.timedelta64(10, "D")])
+    ds = xr.Dataset(
+        {"U": (["time", "depth", "YG", "XG"], U), "V": (["time", "depth", "YG", "XG"], V)},
+        coords={
+            "time": (["time"], time, {"axis": "T"}),
+            "depth": (["depth"], np.array([0.0]), {"axis": "Z"}),
+            "YC": (["YC"], np.arange(ydim) + 0.5, {"axis": "Y"}),
+            "YG": (["YG"], np.arange(ydim, dtype=np.float64), {"axis": "Y"}),
+            "XC": (["XC"], np.arange(xdim) + 0.5, {"axis": "X"}),
+            "XG": (["XG"], np.arange(xdim, dtype=np.float64), {"axis": "X"}),
+            "lat": (["YG", "XG"], lat2d, {"axis": "Y", "units": "degrees_north"}),
+            "lon": (["YG", "XG"], lon2d, {"axis": "X", "units": "degrees_east"}),
+        },
+    )
+    ds = _wrap_sgrid(ds, xdim, ydim)
+    fs = FieldSet.from_sgrid_conventions(ds)
+    grid = fs.gridset[0]
+    view = grid.make_view(grid.device_arrays())
+    qx = np.array([5.1, -100.0], np.float32)
+    qy = np.array([89.85, 89.15], np.float32)
+    gpos = view.search(jnp.zeros(2, jnp.float32), jnp.asarray(qy), jnp.asarray(qx))
+    np.testing.assert_array_equal(
+        np.asarray(gpos["X"]["index"]), np.floor((qx + 180) / (350 / 35)).astype(int)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(gpos["Y"]["index"]), np.floor((qy - 89.0) / (0.9 / 7)).astype(int)
+    )
