@@ -150,6 +150,11 @@ def _pallas_sample(f2, post, posz, posy, posx, Z, Y):
         cost_estimate=pl.CostEstimate(
             flops=2 * npad * Rp * Xp, bytes_accessed=npad * 24 + Rp * Xp * 4, transcendentals=0
         ),
+        # CI coverage: the CPU suite exercises this exact kernel in Pallas
+        # interpret mode (as tests/test_binned_sample.py already does for
+        # the slab sampler) when the fast path is forced on via
+        # PARCELS_TPU_FORCE_PALLAS_INTERPRET.
+        interpret=jax.default_backend() in ("cpu",),
     )(f2, pt, pz, py, px)
     return out.reshape(-1)[:n]
 

@@ -97,13 +97,14 @@ def test_out_of_range_positions_get_zero_weight():
     np.testing.assert_allclose(got, [0.0])
 
 
-@pytest.mark.skipif(
-    __import__("jax").default_backend() in ("cpu",),
-    reason="Pallas branch only runs on TPU (verified there: max 4mm vs gather "
-    "path over 1h advection on a (4,8,64,32) field)",
-)
-def test_pallas_branch_matches_fallback_on_tpu():
-    """On TPU, the Pallas windowed kernel must agree with the gather path."""
+def test_pallas_branch_matches_fallback():
+    """The Pallas windowed kernel must agree with the gather path.
+
+    On TPU the kernel runs natively; on the CPU test mesh it runs in Pallas
+    interpret mode (forced via PARCELS_TPU_FORCE_PALLAS_INTERPRET), so the
+    headline fast path is exercised by every suite run. Verified on real
+    TPU: max 4mm vs gather path over 1h advection on a (4,8,64,32) field.
+    """
     import os
 
     import jax
@@ -114,11 +115,16 @@ def test_pallas_branch_matches_fallback_on_tpu():
     from parcels_tpu.datasets.structured import _coords_2d, _wrap_sgrid
     from parcels_tpu.kernels import AdvectionRK4
 
+    on_cpu = jax.default_backend() in ("cpu",)
+
     def run(disable_fast_path):
         if disable_fast_path:
             os.environ["PARCELS_TPU_DISABLE_PALLAS"] = "1"
+            os.environ.pop("PARCELS_TPU_FORCE_PALLAS_INTERPRET", None)
         else:
             os.environ.pop("PARCELS_TPU_DISABLE_PALLAS", None)
+            if on_cpu:
+                os.environ["PARCELS_TPU_FORCE_PALLAS_INTERPRET"] = "1"
         tdim, zdim, ydim, xdim = 4, 8, 64, 32
         lon = np.linspace(0, 31000, xdim)
         lat = np.linspace(0, 63000, ydim)
@@ -153,5 +159,32 @@ def test_pallas_branch_matches_fallback_on_tpu():
         xg, yg = run(True)
     finally:
         os.environ.pop("PARCELS_TPU_DISABLE_PALLAS", None)
+        os.environ.pop("PARCELS_TPU_FORCE_PALLAS_INTERPRET", None)
     np.testing.assert_allclose(xf, xg, rtol=1e-5, atol=0.5)
     np.testing.assert_allclose(yf, yg, rtol=1e-5, atol=0.5)
+
+
+def test_pallas_kernel_agrees_with_xla_contraction():
+    """Direct unit pin of _pallas_sample (interpret mode on CPU) against the
+    plain-XLA hat contraction on a random fold, including out-of-window
+    lanes (position -10 -> zero weight)."""
+    from parcels_tpu.ops.interp_kernels import _pallas_sample
+
+    rng = np.random.default_rng(7)
+    W, Z, Y, X = 4, 4, 16, 24
+    R = W * Z * Y
+    Rp = -(-R // 8) * 8
+    Xp = -(-X // 128) * 128
+    data = rng.normal(size=(R, X)).astype(np.float32)
+    f2 = jnp.asarray(np.pad(data, ((0, Rp - R), (0, Xp - X))))
+    n = 300
+    post = jnp.asarray(rng.uniform(-0.5, W - 0.5, n), jnp.float32)
+    posz = jnp.asarray(rng.uniform(0, Z - 1, n), jnp.float32)
+    posy = jnp.asarray(rng.uniform(0, Y - 1, n), jnp.float32)
+    posx = jnp.asarray(rng.uniform(0, X - 1, n), jnp.float32)
+    post = post.at[::17].set(-10.0)  # masked-out lanes must produce 0
+
+    got = np.asarray(_pallas_sample(f2, post, posz, posy, posx, Z, Y))
+    want = np.asarray(_xla_small_sample(jnp.asarray(data), post, posz, posy, posx, Z, Y))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+    assert np.all(got[::17] == 0.0)
