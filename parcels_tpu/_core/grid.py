@@ -219,28 +219,7 @@ class XGrid(BaseGrid):
         cached = getattr(self, "_cgrid_geom_cache", None)
         if cached is not None:
             return cached
-        lon = np.asarray(self.lon, dtype=np.float64)
-        lat = np.asarray(self.lat, dtype=np.float64)
-        if lon.ndim == 1:
-            lon2d, lat2d = np.meshgrid(lon, lat)
-        else:
-            lon2d, lat2d = lon, lat
-        px = [lon2d[:-1, :-1], lon2d[:-1, 1:], lon2d[1:, 1:], lon2d[1:, :-1]]
-        py = [lat2d[:-1, :-1], lat2d[:-1, 1:], lat2d[1:, 1:], lat2d[1:, :-1]]
-        if self.spec.spherical:
-            # antimeridian unwrap relative to p0 (reference corner unwrap)
-            px[0] = ((px[0] + 180.0) % 360.0) - 180.0
-            for k in (1, 2, 3):
-                pk = ((px[k] + 180.0) % 360.0) - 180.0
-                pk = np.where(pk - px[0] > 180.0, pk - 360.0, pk)
-                pk = np.where(px[0] - pk > 180.0, pk + 360.0, pk)
-                px[k] = pk
-        cols = [
-            px[1] - px[0], px[2] - px[3], px[3] - px[0], px[2] - px[1],
-            py[1] - py[0], py[2] - py[3], py[3] - py[0], py[2] - py[1],
-            py[0],
-        ]
-        geom = np.stack([c.reshape(-1) for c in cols], axis=1).astype(np.float32)
+        geom = cgrid_geometry_from_coords(self.lon, self.lat, self.spec.spherical)
         self._cgrid_geom_cache = geom
         return geom
 
@@ -285,6 +264,36 @@ class XGrid(BaseGrid):
             f"XGrid({kind}, {mesh}, cells z={self.spec.zdim} y={self.spec.ydim} "
             f"x={self.spec.xdim}, tdim={self.time.shape[0]})"
         )
+
+
+def cgrid_geometry_from_coords(lon, lat, spherical: bool) -> np.ndarray:
+    """Per-cell C-grid geometry table from node coordinates (see
+    XGrid.cgrid_geometry for the column layout). Module-level so the
+    Y-band domain executor can build per-band tables from its halo-extended
+    slab coordinates (parallel/domain.py) — keeping the one-row-gather
+    C-grid fast path alive under domain decomposition."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    if lon.ndim == 1:
+        lon2d, lat2d = np.meshgrid(lon, lat)
+    else:
+        lon2d, lat2d = lon, lat
+    px = [lon2d[:-1, :-1], lon2d[:-1, 1:], lon2d[1:, 1:], lon2d[1:, :-1]]
+    py = [lat2d[:-1, :-1], lat2d[:-1, 1:], lat2d[1:, 1:], lat2d[1:, :-1]]
+    if spherical:
+        # antimeridian unwrap relative to p0 (reference corner unwrap)
+        px[0] = ((px[0] + 180.0) % 360.0) - 180.0
+        for k in (1, 2, 3):
+            pk = ((px[k] + 180.0) % 360.0) - 180.0
+            pk = np.where(pk - px[0] > 180.0, pk - 360.0, pk)
+            pk = np.where(px[0] - pk > 180.0, pk + 360.0, pk)
+            px[k] = pk
+    cols = [
+        px[1] - px[0], px[2] - px[3], px[3] - px[0], px[2] - px[1],
+        py[1] - py[0], py[2] - py[3], py[3] - py[0], py[2] - py[1],
+        py[0],
+    ]
+    return np.stack([c.reshape(-1) for c in cols], axis=1).astype(np.float32)
 
 
 def _validate_lat_lon(lon: np.ndarray, lat: np.ndarray):

@@ -144,6 +144,7 @@ class YBandDomain:
                         "pad_south": h,
                         "pad_north": extra + h,
                         "lat_slabs": lat_slabs.astype(np.float32),
+                        "lat_ext64": lax_ext,
                         "band_lo": band_lo,
                         "band_hi": band_hi,
                         "ydim_nodes": ydim + 1,
@@ -197,6 +198,8 @@ class YBandDomain:
                         "pad_north": extra + h,
                         "lat_slabs": lat_slabs,
                         "lon_slabs": lon_slabs,
+                        "lat_ext64": lat_ext,
+                        "lon_ext64": lon_ext,
                         "lookup_yi": np.stack([lk["yi"] for lk in lks]),
                         "lookup_xi": np.stack([lk["xi"] for lk in lks]),
                         "lookup_origin": np.asarray(
@@ -275,9 +278,29 @@ class YBandDomain:
                 else:
                     garrs.pop("lookup_yi", None)
                     garrs.pop("lookup_xi", None)
-                # per-cell geometry is indexed in the global cell frame;
-                # banded C-grids take the corner-gather fallback instead
-                garrs.pop("cgrid_geom", None)
+                # per-cell geometry is indexed in the local band frame:
+                # rebuild the table from each band's halo-extended node
+                # coords (float64, same math as the global table) so the
+                # one-row-gather C-grid fast path survives banding
+                if "cgrid_geom" in garrs:
+                    del garrs["cgrid_geom"]
+                    if "geom_slabs" not in plan:
+                        from parcels_tpu._core.grid import cgrid_geometry_from_coords
+
+                        rows = plan["rows"]
+                        slabs = []
+                        for b in range(n):
+                            s = plan["row_starts"][b]
+                            lat_b = plan["lat_ext64"][s : s + rows]
+                            if plan.get("curvilinear"):
+                                lon_b = plan["lon_ext64"][s : s + rows]
+                            else:
+                                lon_b = np.asarray(grid.lon, dtype=np.float64)
+                            slabs.append(
+                                cgrid_geometry_from_coords(lon_b, lat_b, plan["spec"].spherical)
+                            )
+                        plan["geom_slabs"] = np.stack(slabs)
+                    per_band["cgrid_geom"] = plan["geom_slabs"]
                 garrs.update(per_band)
                 for k in list(garrs):
                     if k not in per_band:

@@ -229,3 +229,87 @@ def test_curvilinear_banded_off_grid_errors():
         pset.execute(
             AdvectionRK4, dt=np.timedelta64(600, "s"), runtime=np.timedelta64(DAY, "s")
         )
+
+
+def _uniform_cgrid_fieldset(u=0.3, v=0.5, xdim=32, ydim=32):
+    """Flat uniform-flow C-grid dataset (LOW padding, stommel-style layout)."""
+    from parcels_tpu import _sgrid as sgrid
+    from parcels_tpu import xrlite as xr
+    from parcels_tpu.datasets.structured import _cgrid_coords
+
+    lon = np.linspace(0, 2e6, xdim, dtype=np.float32)
+    lat = np.linspace(0, 2e6, ydim, dtype=np.float32)
+    U = np.full((ydim, xdim), u, np.float32)
+    V = np.full((ydim, xdim), v, np.float32)
+    ds = xr.Dataset(
+        {"U": (["YG", "XC"], U), "V": (["YC", "XG"], V)},
+        coords=_cgrid_coords(lon, lat, xdim, ydim),
+    )
+    meta = sgrid.SGrid2DMetadata(
+        node_dimensions=("XG", "YG"),
+        node_coordinates=("lon", "lat"),
+        face_dimensions=(
+            sgrid.FaceNodePadding("XC", "XG", sgrid.Padding.LOW),
+            sgrid.FaceNodePadding("YC", "YG", sgrid.Padding.LOW),
+        ),
+    )
+    return FieldSet.from_sgrid_conventions(sgrid.attach_sgrid_metadata(ds, meta), mesh="flat")
+
+
+def test_cgrid_banded_matches_single_device_with_geom_table():
+    """Banded C-grid keeps the one-row-gather geometry-table fast path
+    (per-band tables rebuilt from halo-extended slab coords) and produces
+    trajectories identical to the single-device run across band crossings."""
+    from parcels_tpu.interpolators import CGrid_Velocity
+
+    rng = np.random.default_rng(7)
+    n = 32
+    x = rng.uniform(2e5, 1.7e6, n)  # u=0.3 m/s: +207 km over 8 days, stays inside
+    y = rng.uniform(2e5, 1.0e6, n)  # v=0.5 m/s: +43 km/day, crosses 250km bands over 8 days
+
+    fs_single = _uniform_cgrid_fieldset()
+    assert isinstance(fs_single.fields["UV"].interp_method, CGrid_Velocity)
+    xs, ys = _run(fs_single, x, y, AdvectionRK4, 8 * DAY, 3600)
+    np.testing.assert_allclose(xs, x + 0.3 * 8 * DAY, rtol=1e-5, atol=1.0)
+    np.testing.assert_allclose(ys, y + 0.5 * 8 * DAY, rtol=1e-5, atol=1.0)
+
+    fs_dom = _uniform_cgrid_fieldset()
+    dom = YBandDomain(fs_dom, n_bands=8, halo=3)
+    # the fast path survives banding: per-band geometry tables are shipped
+    grids = dom.stacked_farrays()["grids"]
+    assert any("cgrid_geom" in g for g in grids)
+    geom = next(g["cgrid_geom"] for g in grids if "cgrid_geom" in g)
+    assert geom.ndim == 3 and geom.shape[2] == 9  # (bands, local_cells, 9)
+    xd, yd = _run(fs_dom, x, y, AdvectionRK4, 8 * DAY, 3600, domain=dom)
+    np.testing.assert_allclose(xd, xs, rtol=1e-6, atol=0.5)
+    np.testing.assert_allclose(yd, ys, rtol=1e-6, atol=0.5)
+
+
+def test_curvilinear_cgrid_banded_matches_single_device():
+    """NEMO-style (curvilinear coords, spherical, C-grid) banded run matches
+    single-device — the BASELINE config-5 grid shape."""
+    from parcels_tpu import convert
+    from parcels_tpu.datasets.circulation_models import nemo_style
+
+    def build():
+        fields, coords = nemo_style(nx=48, ny=64, u=0.25, v=0.12)
+        ds = convert.nemo_to_sgrid(fields=fields, coords=coords)
+        return FieldSet.from_sgrid_conventions(ds)
+
+    rng = np.random.default_rng(11)
+    n = 24
+    x = rng.uniform(1.0, 6.0, n)
+    y = rng.uniform(41.0, 44.0, n)
+
+    fs_single = build()
+    assert fs_single._gridset[0].spec.curvilinear
+    xs, ys = _run(fs_single, x, y, AdvectionRK4, DAY, 1800)
+
+    fs_dom = build()
+    dom = YBandDomain(fs_dom, n_bands=8, halo=3)
+    assert dom.curvilinear
+    grids = dom.stacked_farrays()["grids"]
+    assert any("cgrid_geom" in g for g in grids)
+    xd, yd = _run(fs_dom, x, y, AdvectionRK4, DAY, 1800, domain=dom)
+    np.testing.assert_allclose(xd, xs, rtol=1e-6, atol=1e-4)
+    np.testing.assert_allclose(yd, ys, rtol=1e-6, atol=1e-4)
