@@ -43,12 +43,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from parcels_tpu._core.engine import compute_loop_masks, engine_step
 from parcels_tpu._core.field import FieldView, GridView, VectorFieldView
 from parcels_tpu._core.fieldset import FieldSetView
-from parcels_tpu._core.statuscodes import StatusCode
+from parcels_tpu._core.statuscodes import MIN_ERROR_CODE, StatusCode
 
 __all__ = ["YBandDomain", "build_domain_executor"]
 
 #: SoA keys that are per-device scalars/keys rather than particle lanes
-_NON_LANE_KEYS = ("_rng", "_migof")
+_NON_LANE_KEYS = ("_rng", "_migof", "_haloof")
 
 
 class YBandDomain:
@@ -344,6 +344,17 @@ class YBandDomain:
             )
         blo = np.zeros(self.n) if self.band_lo is None else self.band_lo
         bhi = np.zeros(self.n) if self.band_hi is None else self.band_hi
+        # slab node extent per band: landing beyond it means this step's
+        # interpolation was silently clamped (halo too small -> raise)
+        main = self._grid_plans[self._main_igrid]
+        slabs = main["lat_slabs"]
+        if not self.curvilinear:
+            out["halo_lo"] = jax.device_put(
+                jnp.asarray(slabs[:, 0], dtype=jnp.float32), self._sharding(1)
+            )
+            out["halo_hi"] = jax.device_put(
+                jnp.asarray(slabs[:, -1], dtype=jnp.float32), self._sharding(1)
+            )
         out["band_lo"] = jax.device_put(
             jnp.asarray(blo, dtype=jnp.float32), self._sharding(1)
         )
@@ -503,6 +514,9 @@ class YBandDomain:
         out["_migof"] = jax.device_put(
             jnp.zeros(n, dtype=jnp.int32), self._sharding(1)
         )
+        out["_haloof"] = jax.device_put(
+            jnp.zeros(n, dtype=jnp.int32), self._sharding(1)
+        )
         return out
 
 
@@ -554,10 +568,34 @@ def _neighbor_exchange(pd: dict, mover, shift: int, axis: str, n_dev: int, cap: 
     return pd, (send_overflow + recv_overflow).astype(jnp.int32)
 
 
-def _migrate(pd: dict, band_lo, band_hi, axis: str, n_dev: int, cap: int):
-    """Hand off particles that crossed their band edge to the neighbor device."""
+def _migrate(pd: dict, band_lo, band_hi, axis: str, n_dev: int, cap: int,
+             halo_lo=None, halo_hi=None):
+    """Hand off particles that crossed their band edge to the neighbor device.
+
+    Also enforces the halo CFL condition (halo >= max per-step displacement
+    in cells, see YBandDomain docstring): a lane that lands beyond its
+    band's halo-extended slab this step had its interpolation silently
+    clamped to the slab edge; such lanes are counted into ``_haloof`` and
+    the host raises — never silent corruption. Lanes already in an error
+    state (e.g. global out-of-bounds) are excluded: they raise through the
+    state machine with their own typed error first. Curvilinear bands need
+    no such counter: a lane beyond its slab fails the point-in-cell walk
+    and raises GridSearchingError through the same state machine.
+    """
+    if halo_lo is not None:
+        viol = (
+            pd["_active"]
+            & (pd["state"] < MIN_ERROR_CODE)
+            & ((pd["y"] < halo_lo) | (pd["y"] > halo_hi))
+        )
+        pd["_haloof"] = pd["_haloof"] + jnp.sum(viol).astype(jnp.int32)
     overflow = jnp.int32(0)
-    for shift, cross in ((1, pd["y"] >= band_hi), (-1, pd["y"] < band_lo)):
+    # cross masks MUST be recomputed after each exchange: the +1 pass
+    # rewrites lanes on the receiving device, so a mask captured up front
+    # would judge a just-received particle by its lane's stale previous
+    # occupant and bounce it straight back one band.
+    for shift in (1, -1):
+        cross = (pd["y"] >= band_hi) if shift == 1 else (pd["y"] < band_lo)
         mover = pd["_active"] & cross
         pd, of = _neighbor_exchange(pd, mover, shift, axis, n_dev, cap)
         overflow = overflow + of
@@ -605,11 +643,14 @@ def _migrate_curvilinear(pd: dict, dom: "YBandDomain", axis: str, n_dev: int, ca
         return on_send
 
     overflow = jnp.int32(0)
-    crosses = (
-        (1, (yi_local >= h + Yb) & (dev < n_dev - 1)),
-        (-1, (yi_local < h) & (dev > 0)),
-    )
-    for shift, cross in crosses:
+    # recompute the row index after each exchange (see _migrate: a stale
+    # mask would judge received lanes by their previous occupants)
+    for shift in (1, -1):
+        yi_local = (pd["ei"][:, main_i] // xdim) % ydim_l
+        if shift == 1:
+            cross = (yi_local >= h + Yb) & (dev < n_dev - 1)
+        else:
+            cross = (yi_local < h) & (dev > 0)
         mover = pd["_active"] & cross
         pd, of = _neighbor_exchange(pd, mover, shift, axis, n_dev, cap, on_send=rebase(shift))
         overflow = overflow + of
@@ -650,10 +691,13 @@ def build_domain_executor(
             farrays = jax.tree_util.tree_map(lambda a: a[0], farrays)
             band_lo = farrays["band_lo"]
             band_hi = farrays["band_hi"]
+            halo_lo = farrays.get("halo_lo")
+            halo_hi = farrays.get("halo_hi")
             fsview = dom.build_views(farrays)
             pd = dict(pd)
             pd["_rng"] = pd["_rng"][0]
             pd["_migof"] = pd["_migof"][0]
+            pd["_haloof"] = pd["_haloof"][0]
             pd["state"] = jnp.where(
                 pd["_active"], jnp.int32(StatusCode.Evaluate), pd["state"]
             )
@@ -671,11 +715,15 @@ def build_domain_executor(
                 )
                 if dom.curvilinear:
                     return _migrate_curvilinear(pd, dom, axis, n_dev, cap)
-                return _migrate(pd, band_lo, band_hi, axis, n_dev, cap)
+                return _migrate(
+                    pd, band_lo, band_hi, axis, n_dev, cap,
+                    halo_lo=halo_lo, halo_hi=halo_hi,
+                )
 
             pd = jax.lax.while_loop(cond, body, pd)
             pd["_rng"] = pd["_rng"][None]
             pd["_migof"] = pd["_migof"][None]
+            pd["_haloof"] = pd["_haloof"][None]
             return pd
 
         def spec_of(a):

@@ -313,3 +313,28 @@ def test_curvilinear_cgrid_banded_matches_single_device():
     xd, yd = _run(fs_dom, x, y, AdvectionRK4, DAY, 1800, domain=dom)
     np.testing.assert_allclose(xd, xs, rtol=1e-6, atol=1e-4)
     np.testing.assert_allclose(yd, ys, rtol=1e-6, atol=1e-4)
+
+
+def test_halo_violation_raises():
+    """dt*v larger than the halo slab must raise, not silently clamp
+    interpolation at the slab edge (VERDICT: halo CFL condition enforced)."""
+    # cell ~64.5 km; halo=1 -> slab edge ~1 cell beyond the band. v=20 m/s
+    # with dt=2h moves 144 km ~ 2.2 cells per step: outruns the halo.
+    fs = _uniform_flow_fieldset(0.0, 20.0)
+    dom = YBandDomain(fs, n_bands=8, halo=1)
+    pset = ParticleSet(fs, x=[0.0], y=[-9e5], t=[0.0])
+    shard_particleset(pset, dom)
+    with pytest.raises(RuntimeError, match="[Hh]alo"):
+        pset.execute(
+            AdvectionEE, dt=np.timedelta64(2, "h"), runtime=np.timedelta64(2, "D")
+        )
+
+
+def test_halo_sufficient_does_not_raise():
+    """Same flow with an adequate halo completes and matches the closed form."""
+    fs = _uniform_flow_fieldset(0.0, 20.0)
+    dom = YBandDomain(fs, n_bands=8, halo=3)
+    pset = ParticleSet(fs, x=[0.0], y=[-9e5], t=[0.0])
+    shard_particleset(pset, dom)
+    pset.execute(AdvectionEE, dt=np.timedelta64(2, "h"), runtime=np.timedelta64(1, "D"))
+    np.testing.assert_allclose(pset.y, -9e5 + 20.0 * DAY, rtol=1e-6)
