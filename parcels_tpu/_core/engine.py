@@ -341,7 +341,19 @@ def engine_step(
     uview.x = pd["x"] + pd["dx"]
     uview.y = pd["y"] + pd["dy"]
     uview.z = pd["z"] + pd["dz"]
-    uview.t = pd["t"] + pd["dt"]
+    # Compensated (Kahan) clock: y carries the lost low bits of previous
+    # steps so t never systematically lags dt; the clamped landing step
+    # snaps t to endtime exactly and clears the carry (the reference keeps
+    # t in float64, particle.py:129-160 — this is the f32-pair equivalent,
+    # SURVEY.md §7.3).
+    landing = pd["dt"] == (endtime - pd["t"])
+    y_inc = pd["dt"] + pd["_tc"]
+    t_new = pd["t"] + y_inc
+    c_new = y_inc - (t_new - pd["t"])
+    t_new = jnp.where(landing, jnp.broadcast_to(endtime, t_new.shape), t_new)
+    c_new = jnp.where(landing, jnp.zeros_like(c_new), c_new)
+    uview.t = t_new
+    uview._tc = c_new
     uview.dx = jnp.zeros_like(pd["dx"])
     uview.dy = jnp.zeros_like(pd["dy"])
     uview.dz = jnp.zeros_like(pd["dz"])

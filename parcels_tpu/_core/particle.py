@@ -23,7 +23,7 @@ __all__ = ["Particle", "ParticleClass", "Variable", "create_particle_data", "get
 
 _TO_WRITE_OPTIONS = [True, False]
 
-INTERNAL_VARS = ("ei", "_active", "_rng")
+INTERNAL_VARS = ("ei", "_active", "_rng", "_tc")
 
 
 class _AttrNameHelper:
@@ -172,6 +172,12 @@ def create_particle_data(
         "ei": np.zeros((nparticles, max(ngrids, 1)), dtype=np.int32),
         "_active": np.ones((nparticles,), dtype=bool),
         "_rng": np.asarray(np.random.default_rng(seed).integers(0, 2**32, size=2), dtype=np.uint32),
+        # Kahan carry for the per-lane clock: t lives in f32 on device, so a
+        # long run of t += dt accumulates rounding (dt effectively truncated
+        # once t outgrows dt's alignment). The compensated pair (t, _tc)
+        # carries the lost low bits, giving f64-grade time integration with
+        # f32 arithmetic (reference keeps t float64, particle.py:129-160).
+        "_tc": np.zeros((nparticles,), dtype=np.float32),
     }
 
     for var_name, values in initial.items():

@@ -285,6 +285,8 @@ class ParticleSet:
         """Restore a ParticleSet exactly as checkpointed (ids, states, RNG)."""
         with np.load(path) as npz:
             data = {k: npz[k] for k in npz.files}
+        if "_tc" not in data:  # checkpoints written before the Kahan clock
+            data["_tc"] = np.zeros_like(np.asarray(data["t"]), dtype=np.float32)
         pset = cls.__new__(cls)
         pset.fieldset = fieldset
         pset._pclass = pclass
@@ -454,12 +456,23 @@ class ParticleSet:
 
                 states = np.asarray(dev["state"])
                 active = np.asarray(dev["_active"])
-                self._raise_errors(dev, states, active)
+                # domain-decomposition diagnostics outrank per-particle state
+                # errors: a halo/buffer breach invalidates the interpolation
+                # that produced those states in the first place
                 if "_migof" in dev and int(np.asarray(dev["_migof"]).sum()) > 0:
                     raise RuntimeError(
                         "Particle migration buffer overflow: increase "
                         "YBandDomain(headroom=..., migration_capacity=...) or halo."
                     )
+                if "_haloof" in dev and int(np.asarray(dev["_haloof"]).sum()) > 0:
+                    raise RuntimeError(
+                        "Halo violation: a particle moved beyond its band's "
+                        "halo-extended slab in a single step, so its field "
+                        "samples were clamped at the slab edge. Increase "
+                        "YBandDomain(halo=...) or reduce dt (halo must cover "
+                        "the max per-step displacement in cells)."
+                    )
+                self._raise_errors(dev, states, active)
 
                 if next_output is not None and abs(next_time - next_output) < 1e-3:
                     if output_file:
@@ -477,9 +490,11 @@ class ParticleSet:
         finally:
             if pbar is not None:
                 pbar.close()
-            # Pull the SoA back to host as the source of truth. _migof is a
-            # per-device migration diagnostic, not a particle variable.
-            self._data = {k: np.asarray(v) for k, v in dev.items() if k != "_migof"}
+            # Pull the SoA back to host as the source of truth. _migof and
+            # _haloof are per-device diagnostics, not particle variables.
+            self._data = {
+                k: np.asarray(v) for k, v in dev.items() if k not in ("_migof", "_haloof")
+            }
             if "_rng" in self._data and self._data["_rng"].ndim == 2:
                 self._data["_rng"] = self._data["_rng"][0]
             # per-run observability (SURVEY.md §5 tracing/profiling parity)

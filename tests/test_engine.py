@@ -333,3 +333,52 @@ def test_write_status_roundtrip_preserves_attrs():
     ps.set_variable_write_status("z", True)
     after = next(v.attrs for v in ps._pclass.variables if v.name == "z")
     assert after == before
+
+
+def test_long_horizon_time_integration():
+    """f64-grade clock on f32 hardware (SURVEY.md §7.3; VERDICT r1 item 5).
+
+    ~900k steps with dt=17.3 s (deliberately unrepresentable on the f32
+    grid once t > 2^23): the compensated (t, _tc) Kahan pair must land the
+    final time EXACTLY on the requested horizon, and position drift must
+    stay at f32-position parity (uncompensated f32 time drifted 11.6 km
+    here; the clock carry cuts it to pure position rounding, < 5 km over
+    1555 km of advection)."""
+    from parcels_tpu import FieldSet, ParticleSet
+    from parcels_tpu.datasets import simple_UV_dataset
+    from parcels_tpu.kernels import AdvectionEE
+
+    ds = simple_UV_dataset(dims=(2, 2, 8, 8), mesh="flat")
+    ds["U"].values[:] = 0.1
+    fs = FieldSet.from_sgrid_conventions(ds, mesh="flat")
+    pset = ParticleSet(fs, x=[-1.0e6], y=[0.0], t=[0.0])
+    pset.execute(
+        AdvectionEE, dt=np.timedelta64(17300, "ms"), runtime=np.timedelta64(180, "D")
+    )
+    horizon = 180 * 86400.0
+    t_final = pset._data["t"][pset._data["_active"]]
+    np.testing.assert_array_equal(t_final, np.float32(horizon))  # exact landing
+    exp_x = -1.0e6 + 0.1 * horizon
+    assert abs(pset.x[0] - exp_x) < 5e3, (pset.x[0], exp_x)
+
+
+def test_exact_output_time_landing_subsecond_dt():
+    """Non-integer dt over many outputdt boundaries: every chunk must land
+    exactly on its boundary (clamped landing snaps t and clears the carry)."""
+    from parcels_tpu import FieldSet, ParticleSet
+    from parcels_tpu.datasets import simple_UV_dataset
+    from parcels_tpu.kernels import AdvectionEE
+
+    ds = simple_UV_dataset(dims=(2, 2, 8, 8), mesh="flat")
+    ds["U"].values[:] = 1.0
+    fs = FieldSet.from_sgrid_conventions(ds, mesh="flat")
+    pset = ParticleSet(fs, x=[-1.0e6], y=[0.0], t=[0.0])
+    pset.execute(
+        AdvectionEE, dt=np.timedelta64(700, "ms"), runtime=np.timedelta64(1, "h")
+    )
+    t_final = pset._data["t"][pset._data["_active"]]
+    np.testing.assert_array_equal(t_final, np.float32(3600.0))
+    # x rounds each step to the f32 grid at |x| ~ 1e6 (0.0625 m spacing):
+    # 0.7 m increments land on 0.6875, a systematic -0.0125 m/step — the
+    # identical behavior of the reference's f32 positions. Bound it.
+    np.testing.assert_allclose(pset.x[0], -1.0e6 + 3600.0, atol=100.0)
