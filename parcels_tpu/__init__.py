@@ -41,7 +41,7 @@ from parcels_tpu._core.statuscodes import (
 from parcels_tpu import convert, io, kernels, profiling, tutorial
 from parcels_tpu._logging import logger
 from parcels_tpu.io.zarrstore import open_raw_zarr
-from parcels_tpu._core.timeutils import TimeInterval
+from parcels_tpu._core.timeutils import CFDatetime, TimeInterval
 from parcels_tpu._core.warnings_ import (
     FieldEvalWarning,
     FieldSetWarning,
@@ -108,6 +108,7 @@ __all__ = [
     "KernelError",
     "KernelWarning",
     "OutsideTimeInterval",
+    "CFDatetime",
     "Particle",
     "ParticleClass",
     "ParticleFile",

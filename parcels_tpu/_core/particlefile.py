@@ -228,11 +228,22 @@ def read_particlefile(path, decode_times: bool = True):
 
     meta = {k.decode(): v.decode() for k, v in (time_field.metadata or {}).items()}
     units = meta.get("units", "seconds")
+    calendar = meta.get("calendar", "").lower()
     values = df["t"].to_numpy()
     if "since" in units:
         origin = units.split("since", 1)[1].strip()
-        base = np.datetime64(pd.Timestamp(origin))
-        df["t"] = base + (values * 1e9).astype("timedelta64[ns]")
+        if calendar in ("360_day", "365_day", "366_day", "noleap", "all_leap", "julian"):
+            # non-standard model calendar: decode to CFDatetime objects
+            # (reference round-trips cftime the same way, particlefile.py:224-286)
+            from datetime import timedelta as _td
+
+            from parcels_tpu._core.calendars import parse_cf_origin
+
+            base = parse_cf_origin(origin, calendar)
+            df["t"] = np.asarray([base + _td(seconds=float(v)) for v in values], dtype=object)
+        else:
+            base = np.datetime64(pd.Timestamp(origin))
+            df["t"] = base + (values * 1e9).astype("timedelta64[ns]")
     else:
         df["t"] = (values * 1e9).astype("timedelta64[ns]")
     return df

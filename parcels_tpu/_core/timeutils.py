@@ -15,14 +15,16 @@ import numpy as np
 
 try:
     import cftime
-except ImportError:  # pragma: no cover - cftime is in the baked env
+except ImportError:  # cftime is not in this environment; CFDatetime replaces it
     cftime = None
 
-__all__ = ["TimeInterval", "float_to_datelike", "timedelta_to_float"]
+from parcels_tpu._core.calendars import CFDatetime
 
-_DATETIME_TYPES: tuple = (np.timedelta64, datetime, np.datetime64)
-if cftime is not None:
-    _DATETIME_TYPES = (np.timedelta64, datetime, cftime.datetime, np.datetime64)
+__all__ = ["CFDatetime", "TimeInterval", "float_to_datelike", "timedelta_to_float"]
+
+_DATETIME_TYPES: tuple = (np.timedelta64, datetime, np.datetime64, CFDatetime)
+if cftime is not None:  # pragma: no cover
+    _DATETIME_TYPES = _DATETIME_TYPES + (cftime.datetime,)
 
 
 class TimeInterval:
@@ -81,7 +83,9 @@ class TimeInterval:
 
 
 def _get_cf_attrs(dt) -> dict:
-    if cftime is not None and isinstance(dt, cftime.datetime):
+    if isinstance(dt, CFDatetime):
+        return {"units": f"seconds since {dt.isoformat()}", "calendar": dt.calendar}
+    if cftime is not None and isinstance(dt, cftime.datetime):  # pragma: no cover
         return {"units": f"seconds since {dt.strftime(dt.format)}", "calendar": dt.calendar}
     if isinstance(dt, np.timedelta64):
         return {"units": "seconds"}
@@ -137,8 +141,10 @@ def timedelta_to_float(dt) -> float:
 def float_to_datelike(dt: float, time_interval: TimeInterval | None):
     """Convert float seconds since interval start back to a datetime/timedelta."""
     if time_interval:
+        if isinstance(time_interval.left, CFDatetime):
+            return time_interval.left + timedelta(seconds=float(dt))
         result = np.timedelta64(int(dt), "s") + time_interval.left
-        if cftime is not None and isinstance(result, cftime.datetime):
+        if cftime is not None and isinstance(result, cftime.datetime):  # pragma: no cover
             return result
         if isinstance(result, np.datetime64):
             return result.astype("datetime64[s]")
