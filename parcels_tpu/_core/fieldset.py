@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from parcels_tpu import _sgrid as sgrid
-from parcels_tpu._core.field import Field, FieldView, GridView, VectorField, VectorFieldView
+from parcels_tpu._core.field import Field, FieldView, VectorField, VectorFieldView
 from parcels_tpu._core.grid import XGrid
 from parcels_tpu._core.mesh import get_mesh
 from parcels_tpu.interpolators import CGrid_Velocity, XConstantField, XLinear, XLinear_Velocity

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from parcels_tpu._core.engine import build_chunk_executor
 from parcels_tpu._core.particle import Particle, create_particle_data
 from parcels_tpu._core.statuscodes import MIN_ERROR_CODE, StatusCode, raise_error_from_state
-from parcels_tpu._core.timeutils import float_to_datelike, timedelta_to_float
+from parcels_tpu._core.timeutils import timedelta_to_float
 from parcels_tpu._core.warnings_ import KernelWarning, ParticleSetWarning
 
 __all__ = ["ParticleSet"]

@@ -41,6 +41,11 @@ _NEMO_VARNAMES_MAPPING = {
     "uo": "U",
     "vo": "V",
     "wo": "W",
+    # MOi/legacy NEMO component names (see the MOi benchmark registry entry,
+    # reference _datasets/remote.py:252-257)
+    "vozocrtx": "U",
+    "vomecrty": "V",
+    "vovecrtz": "W",
 }
 _NEMO_AXIS_VARNAMES = {
     "x": "X", "x_center": "X", "y": "Y", "y_center": "Y",
@@ -65,6 +70,86 @@ _DELFT3D_AXIS_VARNAMES = {"M": "X", "N": "Y", "LAYER": "Z", "time": "T"}
 # vertical dim names per unstructured model (reference convert.py:650-652)
 _FESOM2_VERTICAL_DIMS = {"interface": "nz", "center": "nz1"}
 _ICON_VERTICAL_DIMS = {"interface": "depth_2", "center": "depth"}
+
+# CF standard_name pairs identifying the (U, V) velocity components across
+# Copernicus Marine products (reference fieldset.py:444-469, where the table
+# is defined but never consumed; here it drives actual autodiscovery when the
+# caller passes native-named variables instead of U/V keys).
+_COPERNICUS_MARINE_CF_STANDARD_NAME_FALLBACKS = {
+    "UV": [
+        ("eastward_sea_water_velocity", "northward_sea_water_velocity"),
+        ("surface_geostrophic_eastward_sea_water_velocity",
+         "surface_geostrophic_northward_sea_water_velocity"),
+        ("geostrophic_eastward_sea_water_velocity",
+         "geostrophic_northward_sea_water_velocity"),
+        ("sea_surface_wave_stokes_drift_x_velocity",
+         "sea_surface_wave_stokes_drift_y_velocity"),
+        ("sea_water_x_velocity", "sea_water_y_velocity"),
+        ("eastward_sea_water_velocity_vertical_mean_over_pelagic_layer",
+         "northward_sea_water_velocity_vertical_mean_over_pelagic_layer"),
+    ],
+    "W": ["upward_sea_water_velocity", "vertical_sea_water_velocity"],
+}
+
+
+def _maybe_flip_descending_lat(ds: xr.Dataset) -> xr.Dataset:
+    """Reverse a descending 1-D ``lat`` coordinate (and every variable along
+    its dimension).
+
+    ERA5 and some Copernicus products ship latitude north-to-south; the grid
+    runtime requires strictly increasing axes (as does the reference,
+    xgrid.py:512-515, which asks the user to reindex instead — here the
+    converter does the reindex).
+    """
+    if "lat" not in ds:
+        return ds
+    lat = ds["lat"]
+    if lat.ndim != 1 or lat.shape[0] < 2 or not np.all(np.diff(lat.values) < 0):
+        return ds
+    dim = lat.dims[0]
+    logger.info("convert: flipping descending 1-D latitude axis %r", dim)
+    out = ds.copy()
+    for name, da in list(out.data_vars.items()) + list(out.coords.items()):
+        if dim in da.dims:
+            ax = da.dims.index(dim)
+            da.values = np.flip(np.asarray(da.values), axis=ax)
+    return out
+
+
+def _discover_copernicus_uv(ds: xr.Dataset) -> xr.Dataset:
+    """Rename native-named velocity variables to U/V/W via CF standard names.
+
+    No-op when U and V already exist. Raises if two candidate pairs match.
+    """
+    if "U" in ds.data_vars and "V" in ds.data_vars:
+        return ds
+    by_std = {}
+    for name, da in ds.data_vars.items():
+        std = da.attrs.get("standard_name")
+        if std:
+            by_std.setdefault(std, []).append(name)
+    rename: dict[str, str] = {}
+    for u_std, v_std in _COPERNICUS_MARINE_CF_STANDARD_NAME_FALLBACKS["UV"]:
+        if u_std in by_std and v_std in by_std:
+            if rename:
+                raise ValueError(
+                    "Multiple velocity-component pairs matched Copernicus Marine "
+                    "standard-name fallbacks; pass fields={'U': ..., 'V': ...} explicitly."
+                )
+            if len(by_std[u_std]) > 1 or len(by_std[v_std]) > 1:
+                raise ValueError(
+                    f"Ambiguous variables for standard names {u_std!r}/{v_std!r}."
+                )
+            rename[by_std[u_std][0]] = "U"
+            rename[by_std[v_std][0]] = "V"
+    for w_std in _COPERNICUS_MARINE_CF_STANDARD_NAME_FALLBACKS["W"]:
+        if w_std in by_std and "W" not in ds.data_vars and len(by_std[w_std]) == 1:
+            rename[by_std[w_std][0]] = "W"
+            break
+    if rename:
+        logger.info("convert: standard-name velocity discovery %s", rename)
+        ds = ds.rename(rename)
+    return ds
 
 
 def _as_xrlite(ds) -> xr.Dataset:
@@ -213,10 +298,14 @@ def nemo_to_sgrid(*, fields: dict, coords) -> xr.Dataset:
             raise ValueError(f"Expected coordinate {name!r} not found in provided coords dataset.")
 
     fields = dict(fields)
+    # accept native NEMO/MOi component names as dict keys (vozocrtx -> U, ...)
+    for native, parcels_name in _NEMO_VARNAMES_MAPPING.items():
+        if native in fields and parcels_name not in fields:
+            fields[parcels_name] = fields.pop(native)
     renamed = {}
     for name, fda in fields.items():
         if hasattr(fda, "data_vars"):
-            fda = fda[name]
+            fda = fda[name] if name in getattr(fda, "data_vars", {}) else fda[next(iter(fda.data_vars))]
         dims = tuple(str(d) for d in fda.dims)
         # U sits on the y-center row, V on the x-center column (C-grid)
         if name == "U":
@@ -333,7 +422,9 @@ def croco_to_sgrid(*, fields: dict, coords) -> xr.Dataset:
 def copernicusmarine_to_sgrid(*, fields: dict, coords=None) -> xr.Dataset:
     """Copernicus Marine (A-grid) output -> SGRID dataset (reference :526-588)."""
     ds = _merge_fields_and_coords(dict(fields), coords)
+    ds = _discover_copernicus_uv(ds)
     ds = _maybe_rename(ds, _COPERNICUS_AXIS_COORDS)
+    ds = _maybe_flip_descending_lat(ds)
     ds = _set_axis_attrs(ds, {"lon": "X", "lat": "Y", "depth": "Z", "time": "T"})
     ds = _maybe_expand_depth(ds)
     ds = _negate_w(ds)

@@ -67,6 +67,23 @@ class DataArray:
             self.values, tuple(mapping.get(d, d) for d in self.dims), dict(self.attrs), self.name
         )
 
+    def isel(self, indexers: Mapping[str, object] | None = None, **indexers_kwargs):
+        """Positional indexing along named dimensions (xarray-compatible subset).
+
+        Integer indexers drop the dimension; slices and integer arrays keep it.
+        """
+        idx = dict(indexers or {}) | indexers_kwargs
+        key = []
+        dims = []
+        for d, n in zip(self.dims, self.shape):
+            sel = idx.pop(d, slice(None))
+            key.append(sel)
+            if not isinstance(sel, (int, np.integer)):
+                dims.append(d)
+        if idx:
+            raise ValueError(f"Dimensions {sorted(idx)} not found in DataArray dims {self.dims}")
+        return DataArray(np.asarray(self.values)[tuple(key)], tuple(dims), dict(self.attrs), self.name)
+
     def __array__(self, dtype=None):
         return np.asarray(self.values, dtype=dtype)
 
@@ -143,6 +160,23 @@ class Dataset:
             ds.data_vars[mapping.get(k, k)] = v.rename_dims(mapping)
         for k, v in self.coords.items():
             ds.coords[mapping.get(k, k)] = v.rename_dims(mapping)
+        ds._check_dims()
+        return ds
+
+    def isel(self, indexers: Mapping[str, object] | None = None, **indexers_kwargs) -> "Dataset":
+        """Positional indexing along named dimensions (xarray-compatible subset).
+
+        Variables lacking an indexed dimension pass through unchanged.
+        """
+        idx = dict(indexers or {}) | indexers_kwargs
+        unknown = set(idx) - set(self.sizes)
+        if unknown:
+            raise ValueError(f"Dimensions {sorted(unknown)} not found in dataset dims {sorted(self.sizes)}")
+        ds = Dataset(attrs=dict(self.attrs))
+        for group_src, group_dst in ((self.data_vars, ds.data_vars), (self.coords, ds.coords)):
+            for name, da in group_src.items():
+                hit = {d: s for d, s in idx.items() if d in da.dims}
+                group_dst[name] = da.isel(hit) if hit else da.copy()
         ds._check_dims()
         return ds
 

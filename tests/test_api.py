@@ -9,8 +9,6 @@ more). Also exercises the host-side conveniences those names promise:
 import logging
 
 import numpy as np
-import pytest
-
 import parcels_tpu
 
 # reference src/parcels/__init__.py:47-82 (__all__), verbatim name list

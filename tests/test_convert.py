@@ -273,3 +273,94 @@ def test_nemo_to_sgrid_advection_cgrid():
     exp_x = x0 + u_ms * 86400.0 / (deg2m * np.cos(np.deg2rad(y0)))
     assert abs(pset.x[0] - exp_x) < 5e-3 * abs(exp_x - x0), (pset.x, exp_x)
     assert abs(pset.y[0] - y0) < 1e-3
+
+
+def test_circulation_model_datasets_registry():
+    """The native-convention registry mirrors the reference's ``datasets``
+    dict (reference circulation_models.py:1251-1264): same 12 keys, native
+    variable and dimension names preserved."""
+    from parcels_tpu.datasets.circulation_models import datasets
+
+    expected = {
+        "ds_copernicusmarine", "ds_copernicusmarine_waves", "ds_NEMO_MOI_U",
+        "ds_NEMO_MOI_V", "ds_CESM", "ds_MITgcm_netcdf", "ds_MITgcm_mds",
+        "ds_ERA5_wind", "ds_FES_tides", "ds_hycom_espc", "ds_ecco4",
+        "ds_CROCO_idealized",
+    }
+    assert set(datasets) == expected
+    assert "vozocrtx" in datasets["ds_NEMO_MOI_U"].data_vars
+    assert "vomecrty" in datasets["ds_NEMO_MOI_V"].data_vars
+    assert datasets["ds_CESM"]["UVEL"].attrs["units"] == "centimeter/s"
+    assert datasets["ds_MITgcm_mds"]["U"].dims == ("time", "Z", "YC", "XG")
+    assert datasets["ds_MITgcm_mds"]["V"].dims == ("time", "Z", "YG", "XC")
+    assert "depth" not in datasets["ds_ERA5_wind"].sizes  # surface-only
+    assert "time" not in datasets["ds_FES_tides"].sizes  # constituent file
+    assert datasets["ds_ecco4"]["UVEL"].dims == ("time", "k", "tile", "j", "i_g")
+    assert "hc" in datasets["ds_CROCO_idealized"].data_vars
+
+
+def test_copernicus_standard_name_uv_discovery():
+    """Native-named uo/vo (and Stokes-drift VSDX/VSDY) are discovered as U/V
+    via CF standard names (fallback table: reference fieldset.py:444-469)."""
+    from parcels_tpu.datasets.circulation_models import datasets
+
+    for key, (uname, vname) in {
+        "ds_copernicusmarine": ("uo", "vo"),
+        "ds_copernicusmarine_waves": ("VSDX", "VSDY"),
+    }.items():
+        raw = datasets[key]
+        ds = convert.copernicusmarine_to_sgrid(
+            fields={uname: raw[uname], vname: raw[vname]},
+            coords=xr.Dataset(coords=dict(raw.coords)),
+        )
+        assert "U" in ds.data_vars and "V" in ds.data_vars, key
+        fs = FieldSet.from_sgrid_conventions(ds)
+        assert "UV" in fs.fields, key
+
+
+def test_copernicus_standard_name_ambiguity_raises():
+    raw = None
+    from parcels_tpu.datasets.circulation_models import _copernicusmarine_ds
+
+    raw = _copernicusmarine_ds()
+    dup = xr.DataArray(raw["uo"].values, raw["uo"].dims, dict(raw["uo"].attrs), name="uo2")
+    with pytest.raises(ValueError, match="Ambiguous"):
+        convert.copernicusmarine_to_sgrid(
+            fields={"uo": raw["uo"], "vo": raw["vo"], "uo2": dup},
+            coords=xr.Dataset(coords=dict(raw.coords)),
+        )
+
+
+def test_hycom_espc_through_copernicus_converter():
+    """HYCOM's lat/lon/depth/time layout ingests through the generic A-grid
+    converter; water_u/water_v discovered by standard name."""
+    from parcels_tpu.datasets.circulation_models import hycom_espc_style
+
+    raw = hycom_espc_style()
+    ds = convert.copernicusmarine_to_sgrid(
+        fields={"water_u": raw["water_u"], "water_v": raw["water_v"]},
+        coords=xr.Dataset(coords=dict(raw.coords)),
+    )
+    fs = FieldSet.from_sgrid_conventions(ds)
+    assert "UV" in fs.fields
+
+
+def test_era5_wind_surface_expand_depth():
+    """ERA5 u10/v10 have no depth axis; the converter synthesizes one so the
+    3-D sampling engine can ingest surface-only products."""
+    from parcels_tpu.datasets.circulation_models import era5_wind_style
+
+    raw = era5_wind_style()
+    u = xr.DataArray(raw["u10"].values, raw["u10"].dims,
+                     {**raw["u10"].attrs, "standard_name": "eastward_sea_water_velocity"},
+                     name="u10")
+    v = xr.DataArray(raw["v10"].values, raw["v10"].dims,
+                     {**raw["v10"].attrs, "standard_name": "northward_sea_water_velocity"},
+                     name="v10")
+    ds = convert.copernicusmarine_to_sgrid(
+        fields={"u10": u, "v10": v},
+        coords=xr.Dataset(coords=dict(raw.coords)),
+    )
+    assert "U" in ds.data_vars
+    fs = FieldSet.from_sgrid_conventions(ds)
+    assert "UV" in fs.fields

@@ -7,20 +7,17 @@ variants against their defining property.
 """
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
-import jax.numpy as jnp
-
 from parcels_tpu import (
-    Field,
     FieldSet,
-    XConstantField,
-    XLinear,
+    Particle,
+    Variable,
     XLinearInvdistLandTracer,
     XNearest,
 )
 from parcels_tpu import xrlite as xr
-from parcels_tpu import _sgrid as sgrid
 from parcels_tpu.datasets.structured import _coords_2d, _wrap_sgrid
 
 
@@ -159,3 +156,51 @@ def test_host_field_getitem_sugar():
     pset = ParticleSet(fs, x=[12000.0], y=[12500.0], t=[np.timedelta64(0, "s")])
     u3, v3 = fs.UV[pset]
     np.testing.assert_allclose(u3, u1, rtol=1e-6)
+
+
+def test_add_constant_field_sampling_semantics():
+    """Constant fields sample to their value at any position/time, on both
+    flat and spherical meshes, host-side and inside a traced kernel
+    (reference fieldset.py:198-228 + XConstantField)."""
+    import jax.numpy as jnp
+
+    from parcels_tpu import ParticleSet
+    from parcels_tpu.datasets import simple_UV_dataset
+    from tests.conftest import uniform_flow_fieldset
+
+    fs = uniform_flow_fieldset(u=0.0, v=0.0)
+    fs.add_constant_field("Kflat", 3.5, mesh="flat")
+    fs.add_constant_field("Ksph", 7.25, mesh="spherical")
+    with pytest.raises(ValueError, match="mesh"):
+        fs.add_constant_field("Kbad", 1.0, mesh="cubed")
+
+    # host-side eval at arbitrary coordinates, in and out of the main domain
+    for x, y in ((0.0, 0.0), (1e5, -3e4), (1e9, 1e9)):
+        v = fs.fields["Kflat"].eval(np.timedelta64(0, "s"), np.array([0.0]),
+                                    np.array([y]), np.array([x]))
+        np.testing.assert_allclose(np.asarray(v), 3.5)
+        v = fs.fields["Ksph"].eval(np.timedelta64(5, "h"), np.array([0.0]),
+                                   np.array([y]), np.array([x]))
+        np.testing.assert_allclose(np.asarray(v), 7.25)
+
+    # traced kernel access via fieldset.<name>[particles]
+    pclass = Particle.add_variable(Variable("ksum", dtype=np.float32, initial=0.0))
+
+    def SampleK(particles, fieldset):  # noqa: N802
+        particles.ksum = fieldset.Kflat[particles] + fieldset.Ksph[particles]
+
+    pset = ParticleSet(fs, pclass=pclass, x=[1e5], y=[1e5], t=[0.0])
+    pset.execute(SampleK, dt=np.timedelta64(1, "h"), runtime=np.timedelta64(1, "h"))
+    np.testing.assert_allclose(pset.ksum, 3.5 + 7.25, rtol=1e-6)
+
+    # spherical main grid + constant field: value unchanged by deg conversion
+    ds = simple_UV_dataset(dims=(2, 2, 30, 30), mesh="spherical")
+    fs2 = FieldSet.from_sgrid_conventions(ds, mesh="spherical")
+    fs2.add_constant_field("Kh", 11.0)  # default spherical
+    pset2 = ParticleSet(fs2, pclass=pclass, x=[10.0], y=[45.0], t=[0.0])
+
+    def SampleKh(particles, fieldset):  # noqa: N802
+        particles.ksum = fieldset.Kh[particles]
+
+    pset2.execute(SampleKh, dt=np.timedelta64(1, "h"), runtime=np.timedelta64(1, "h"))
+    np.testing.assert_allclose(pset2.ksum, 11.0, rtol=1e-6)

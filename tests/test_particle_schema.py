@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from parcels_tpu import Particle, ParticleClass, StatusCode, Variable, get_default_particle
+from parcels_tpu import Particle, StatusCode, Variable, get_default_particle
 from parcels_tpu._core.particle import create_particle_data
 from parcels_tpu._core.particles_view import Particles
 

@@ -1,0 +1,233 @@
+"""SGRID accessor machinery: paired isel, SGrid3DMetadata, rename.
+
+Mirrors reference _sgrid/accessor.py:46-265 (padding-aware paired indexing),
+core.py:192-260 (SGrid3DMetadata), core.py:676-722 (metadata rename), and the
+dataset-strategy property tests in reference tests/datasets/test_strategies.py.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+
+from parcels_tpu import _sgrid as sgrid
+from parcels_tpu._strategies import sgrid_dataset
+from parcels_tpu.datasets import padded_variant_dataset
+
+VARIANTS = ("left", "right", "inner", "outer")
+
+
+# ---------------------------------------------------------------------------
+# paired isel
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_sgrid_isel_slice_keeps_consistency(variant):
+    ds = padded_variant_dataset(variant)
+    out = sgrid.sgrid_isel(ds, {"XG": slice(1, 6)})
+    meta = sgrid.parse_sgrid_metadata(out)
+    sgrid.assert_metadata_ds_consistency(out, meta)
+    assert out.sizes["XG"] == 5
+    fnp_x = meta.face_dimensions[0]
+    assert out.sizes["XC"] == sgrid.get_n_faces(5, fnp_x.padding)
+    # untouched axes keep their sizes
+    assert out.sizes["YG"] == ds.sizes["YG"]
+
+
+@pytest.mark.parametrize("variant", ("left", "right"))
+def test_sgrid_isel_integer_indexer_highlow(variant):
+    """Integer indexers are allowed for HIGH/LOW padding (sizes match)."""
+    ds = padded_variant_dataset(variant)
+    out = sgrid.sgrid_isel(ds, {"YG": 2})
+    assert "YG" not in out.sizes and "YC" not in out.sizes
+
+
+@pytest.mark.parametrize("variant", ("inner", "outer"))
+def test_sgrid_isel_scalar_raises_noneboth(variant):
+    ds = padded_variant_dataset(variant)
+    with pytest.raises(ValueError, match="Scalar and list indexers"):
+        sgrid.sgrid_isel(ds, {"YG": 2})
+
+
+def test_sgrid_isel_step_raises():
+    ds = padded_variant_dataset("inner")
+    with pytest.raises(ValueError, match="step"):
+        sgrid.sgrid_isel(ds, {"XG": slice(0, 6, 2)})
+
+
+def test_sgrid_isel_same_axis_raises():
+    ds = padded_variant_dataset("left")
+    with pytest.raises(ValueError, match="same axis"):
+        sgrid.sgrid_isel(ds, {"XG": slice(0, 4), "XC": slice(0, 4)})
+
+
+def test_sgrid_isel_nonspatial_raises():
+    ds = padded_variant_dataset("left")
+    with pytest.raises(ValueError, match="non-spatial"):
+        sgrid.sgrid_isel(ds, {"time": slice(0, 1)})
+
+
+def test_sgrid_isel_both_and_kwargs_raises():
+    ds = padded_variant_dataset("left")
+    with pytest.raises(ValueError, match="both"):
+        sgrid.sgrid_isel(ds, {"XG": slice(0, 4)}, YG=slice(0, 4))
+    with pytest.raises(ValueError, match="Must provide"):
+        sgrid.sgrid_isel(ds)
+
+
+def test_sgrid_isel_face_side_indexing():
+    """Indexing by the FACE dim derives the node slice via get_n_nodes."""
+    ds = padded_variant_dataset("inner")  # faces = nodes - 1
+    out = sgrid.sgrid_isel(ds, XC=slice(0, 4))
+    assert out.sizes["XC"] == 4
+    assert out.sizes["XG"] == 5  # NONE padding: nodes = faces + 1
+
+
+def test_sgrid_isel_values_match_plain_isel():
+    """On HIGH/LOW layouts the paired isel equals plain isel on both dims."""
+    ds = padded_variant_dataset("right")
+    out = sgrid.sgrid_isel(ds, XG=slice(2, 7))
+    ref = ds.isel({"XG": slice(2, 7), "XC": slice(2, 7)})
+    np.testing.assert_array_equal(out["data_c"].values, ref["data_c"].values)
+    np.testing.assert_array_equal(out["data_g"].values, ref["data_g"].values)
+
+
+def test_assert_consistency_raises():
+    ds = padded_variant_dataset("left")
+    meta = sgrid.parse_sgrid_metadata(ds)
+    bad = ds.isel({"XC": slice(0, 3)})  # breaks face/node arithmetic
+    with pytest.raises(ValueError, match="implies"):
+        sgrid.assert_metadata_ds_consistency(bad, meta)
+
+
+# ---------------------------------------------------------------------------
+# SGrid3DMetadata
+# ---------------------------------------------------------------------------
+
+
+def _meta3d():
+    return sgrid.SGrid3DMetadata(
+        node_dimensions=("XG", "YG", "ZG"),
+        volume_dimensions=(
+            sgrid.FaceNodePadding("XC", "XG", sgrid.Padding.LOW),
+            sgrid.FaceNodePadding("YC", "YG", sgrid.Padding.HIGH),
+            sgrid.FaceNodePadding("ZC", "ZG", sgrid.Padding.BOTH),
+        ),
+        node_coordinates=("lon", "lat", "depth"),
+    )
+
+
+def test_sgrid3d_roundtrip():
+    m = _meta3d()
+    attrs = m.to_attrs()
+    assert attrs["topology_dimension"] == 3
+    m2 = sgrid.SGrid3DMetadata.from_attrs(attrs)
+    assert m2 == m
+
+
+def test_sgrid3d_parse_dispatch():
+    from parcels_tpu import xrlite as xr
+
+    ds = xr.Dataset({"f": (("ZG", "YG", "XG"), np.zeros((2, 3, 4)))})
+    ds = sgrid.attach_sgrid_metadata(ds, _meta3d())
+    m = sgrid.parse_sgrid_metadata(ds)
+    assert isinstance(m, sgrid.SGrid3DMetadata)
+    assert m.dim_position("XC") == "face"
+    assert m.dim_position("ZG") == sgrid.Padding.BOTH
+    assert sgrid.get_dim_position(m, "YG") == sgrid.Padding.HIGH
+
+
+def test_sgrid3d_validation():
+    with pytest.raises(ValueError, match="node_dimensions"):
+        sgrid.SGrid3DMetadata(
+            node_dimensions=("XG", "YG"),  # only 2
+            volume_dimensions=_meta3d().volume_dimensions,
+        )
+    with pytest.raises(ValueError, match="volume_dimensions"):
+        sgrid.SGrid3DMetadata(
+            node_dimensions=("XG", "YG", "ZG"),
+            volume_dimensions=("XC", "YC", "ZC"),  # not FaceNodePadding
+        )
+
+
+# ---------------------------------------------------------------------------
+# rename
+# ---------------------------------------------------------------------------
+
+
+def test_rename_metadata_2d():
+    ds = padded_variant_dataset("left")
+    meta = sgrid.parse_sgrid_metadata(ds)
+    new = sgrid.rename_metadata(meta, {"XG": "i_g", "XC": "i_c"})
+    assert new.face_dimensions[0].node == "i_g"
+    assert new.face_dimensions[0].face == "i_c"
+    assert new.face_dimensions[0].padding == meta.face_dimensions[0].padding
+    assert new.face_dimensions[1] == meta.face_dimensions[1]
+
+
+def test_rename_metadata_errors():
+    meta = sgrid.parse_sgrid_metadata(padded_variant_dataset("left"))
+    with pytest.raises(ValueError, match="not found"):
+        sgrid.rename_metadata(meta, {"nope": "x"})
+    with pytest.raises(ValueError, match="duplicate"):
+        sgrid.rename_metadata(meta, {"XG": "same", "YG": "same"})
+
+
+def test_rename_sgrid_dataset_end_to_end():
+    ds = padded_variant_dataset("right")
+    out = sgrid.rename_sgrid_dataset(ds, {"XG": "i_g", "XC": "i_c"})
+    assert "i_g" in out.sizes and "XG" not in out.sizes
+    meta = sgrid.parse_sgrid_metadata(out)
+    assert meta.face_dimensions[0].face == "i_c"
+    sgrid.assert_metadata_ds_consistency(out, meta)
+    # renamed dataset still round-trips through paired isel
+    sel = sgrid.sgrid_isel(out, i_g=slice(0, 4))
+    assert sel.sizes["i_g"] == 4
+
+
+def test_rename_metadata_3d():
+    m = _meta3d()
+    new = sgrid.rename_metadata(m, {"ZG": "k_g", "depth": "zlev"})
+    assert new.volume_dimensions[2].node == "k_g"
+    assert new.node_coordinates == ("lon", "lat", "zlev")
+
+
+# ---------------------------------------------------------------------------
+# dataset strategy property tests (reference tests/datasets/test_strategies.py)
+# ---------------------------------------------------------------------------
+
+
+@given(sgrid_dataset())
+@settings(max_examples=15, deadline=None)
+def test_strategy_dataset_parses_and_is_consistent(ds):
+    meta = sgrid.parse_sgrid_metadata(ds)
+    sgrid.assert_metadata_ds_consistency(ds, meta)
+
+
+@given(sgrid_dataset())
+@settings(max_examples=15, deadline=None)
+def test_strategy_dataset_node_coordinates_present(ds):
+    meta = sgrid.parse_sgrid_metadata(ds)
+    assert meta.node_coordinates is not None
+    nd1, nd2 = meta.node_dimensions
+    c1 = ds[meta.node_coordinates[0]]
+    c2 = ds[meta.node_coordinates[1]]
+    assert c1.dims in ((nd1,), (nd1, nd2))
+    assert c2.dims in ((nd2,), (nd1, nd2))
+
+
+def test_strategy_dataset_requires_node_coordinates():
+    import warnings
+
+    meta = sgrid.SGrid2DMetadata(
+        node_dimensions=("XG", "YG"),
+        face_dimensions=(
+            sgrid.FaceNodePadding("XC", "XG", sgrid.Padding.LOW),
+            sgrid.FaceNodePadding("YC", "YG", sgrid.Padding.LOW),
+        ),
+        node_coordinates=None,
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        with pytest.raises(ValueError, match="node_coordinates"):
+            sgrid_dataset(grid=meta).example()
