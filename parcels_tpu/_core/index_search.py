@@ -226,8 +226,12 @@ def curvilinear_point_in_cell(lon2d, lat2d, y, x, yi, xi, spherical: bool):
     # f32-aware acceptance margin: a point riding a cell edge can compute as
     # fractionally outside BOTH neighbouring cells under fused f32 rounding
     # (the reference's zero-tolerance check is safe only in f64); without the
-    # margin the walk oscillates between the two cells and errors out.
-    tol = 1e-5
+    # margin the walk oscillates between the two cells and errors out. The
+    # margin is in cell-fraction units; 2e-4 covers the observed f32 noise of
+    # the tangent-plane inverse at global coordinates (measured 2e-5 at
+    # lon~106 on a 1.8-degree cell) with an order of headroom. A point
+    # accepted up to 2e-4 outside simply gets a clamped-weight interpolation.
+    tol = 2e-4
     in_cell = (xsi >= -tol) & (xsi <= 1 + tol) & (eta >= -tol) & (eta <= 1 + tol)
     return in_cell, xsi, eta
 
@@ -286,9 +290,27 @@ def curvilinear_search(
     else:
         outside = jnp.zeros(y.shape, dtype=bool)
 
+    def _outside_dist(xsi_n, eta_n):
+        """How far outside [0,1]^2 the local coords are, in cell fractions."""
+        dx = jnp.maximum(0.0, jnp.maximum(-xsi_n, xsi_n - 1.0))
+        dy = jnp.maximum(0.0, jnp.maximum(-eta_n, eta_n - 1.0))
+        return jnp.maximum(dx, dy)
+
     def walk_body(_, carry):
-        yi, xi, in_cell, xsi, eta = carry
+        yi, xi, in_cell, xsi, eta, best = carry
         ok, xsi_n, eta_n = curvilinear_point_in_cell(lon2d, lat2d, y, x, yi, xi, spherical)
+        # Track the best (least-outside) cell seen: if the walk oscillates on
+        # an edge where f32 rounding rejects BOTH neighbours, the nearest
+        # candidate is recovered after the loop instead of erroring the lane.
+        d_n = _outside_dist(xsi_n, eta_n)
+        better = d_n < best[0]
+        best = (
+            jnp.where(better, d_n, best[0]),
+            jnp.where(better, yi, best[1]),
+            jnp.where(better, xi, best[2]),
+            jnp.where(better, xsi_n, best[3]),
+            jnp.where(better, eta_n, best[4]),
+        )
         # Directed move: overshoot in (xsi, eta) tells which neighbor to try.
         dx = jnp.clip(jnp.floor(xsi_n).astype(jnp.int32), -2, 2)
         dy = jnp.clip(jnp.floor(eta_n).astype(jnp.int32), -2, 2)
@@ -299,20 +321,38 @@ def curvilinear_search(
         # Keep best-known coords.
         xsi = jnp.where(ok & ~in_cell, xsi_n, xsi)
         eta = jnp.where(ok & ~in_cell, eta_n, eta)
-        return yi_new, xi_new, in_cell | ok, xsi, eta
+        return yi_new, xi_new, in_cell | ok, xsi, eta, best
 
     # Found lanes keep their converged (yi, xi) because move=0 for them after
     # the first re-check; to avoid drift, freeze found lanes explicitly.
     def walk_body_frozen(i, carry):
-        yi, xi, found, xsi, eta = carry
-        yi2, xi2, found2, xsi2, eta2 = walk_body(i, (yi, xi, found, xsi, eta))
+        yi, xi, found, xsi, eta, best = carry
+        yi2, xi2, found2, xsi2, eta2, best2 = walk_body(i, (yi, xi, found, xsi, eta, best))
         yi = jnp.where(found, yi, yi2)
         xi = jnp.where(found, xi, xi2)
-        return yi, xi, found2, xsi2, eta2
+        return yi, xi, found2, xsi2, eta2, best2
 
-    yi, xi, found, xsi, eta = jax.lax.fori_loop(
-        0, n_walk, walk_body_frozen, (yi, xi, in_cell, xsi, eta)
+    # derive the carry from varying inputs (full_like/zeros_like) so the
+    # fori_loop carry has consistent varying-manual-axes under shard_map
+    best0 = (
+        jnp.full_like(jnp.asarray(y, jnp.float32), jnp.inf),
+        jnp.zeros_like(yi),
+        jnp.zeros_like(xi),
+        jnp.zeros_like(jnp.asarray(y, jnp.float32)),
+        jnp.zeros_like(jnp.asarray(y, jnp.float32)),
     )
+    yi, xi, found, xsi, eta, best = jax.lax.fori_loop(
+        0, n_walk, walk_body_frozen, (yi, xi, in_cell, xsi, eta, best0)
+    )
+
+    # Rescue oscillating edge lanes: accept the nearest candidate when it is
+    # within 1% of a cell of the boundary (true misses are >> 1 cell away).
+    rescue = ~found & (best[0] < 0.01)
+    yi = jnp.where(rescue, best[1], yi)
+    xi = jnp.where(rescue, best[2], xi)
+    xsi = jnp.where(rescue, best[3], xsi)
+    eta = jnp.where(rescue, best[4], eta)
+    found = found | rescue
 
     yi = jnp.where(found, yi, GRID_SEARCH_ERROR)
     xi = jnp.where(found, xi, GRID_SEARCH_ERROR)

@@ -13,7 +13,7 @@ import numpy as np
 
 from parcels_tpu import xrlite as xr
 
-__all__ = ["delaunay_flow_dataset"]
+__all__ = ["delaunay_flow_dataset", "fesom2_style_dataset"]
 
 
 def _delaunay_mesh(nx: int, ny: int, extent: float, seed: int = 0):
@@ -109,3 +109,55 @@ def delaunay_flow_dataset(
     )
     ds["face_node_connectivity"] = xr.DataArray(conn, dims=("n_face", "three"))
     return ds
+
+
+def fesom2_style_dataset(which: str = "data", nx: int = 16, ny: int = 16, nz: int = 5,
+                         extent: float = 1e5):
+    """FESOM2-native-convention mimic (reference unstructured/generic.py:112-206
+    and the Benchmarks_FESOM2-baroclinic-gyre registry layout).
+
+    ``which='grid'`` returns the mesh file (node coords + triangles, FESOM
+    naming: nod2/elem dims); ``which='data'`` returns velocities ``u``/``v``
+    on elements over ``nz1`` layer centers plus ``w`` on ``nz`` interfaces —
+    the split the real benchmark dataset ships.
+    """
+    node_lon, node_lat, conn = _delaunay_mesh(nx, ny, extent, seed=3)
+    n_node = node_lon.shape[0]
+    n_elem = conn.shape[0]
+    zf = np.linspace(0, 1000.0, nz)
+    zc = 0.5 * (zf[:-1] + zf[1:])
+    time = np.array([np.datetime64("2000-01-01"), np.datetime64("2000-01-02")])
+
+    if which == "grid":
+        return xr.Dataset(
+            {
+                "face_nodes": (("elem", "three"), conn),
+            },
+            coords={
+                "lon": (("nod2",), node_lon, {"units": "degrees_east"}),
+                "lat": (("nod2",), node_lat, {"units": "degrees_north"}),
+                "nz": (("nz",), zf, {"units": "m", "positive": "down"}),
+                "nz1": (("nz1",), zc, {"units": "m", "positive": "down"}),
+            },
+        )
+    if which != "data":
+        raise ValueError(f"which must be 'data' or 'grid'. Got {which!r}")
+
+    rng = np.random.default_rng(9)
+    shp_c = (len(time), nz - 1, n_elem)
+    shp_f = (len(time), nz, n_node)
+    return xr.Dataset(
+        {
+            "u": (("time", "nz1", "elem"), rng.uniform(-0.3, 0.3, shp_c).astype(np.float32),
+                  {"units": "m/s", "description": "zonal velocity"}),
+            "v": (("time", "nz1", "elem"), rng.uniform(-0.3, 0.3, shp_c).astype(np.float32),
+                  {"units": "m/s", "description": "meridional velocity"}),
+            "w": (("time", "nz", "nod2"), rng.uniform(-1e-4, 1e-4, shp_f).astype(np.float32),
+                  {"units": "m/s", "description": "vertical velocity"}),
+        },
+        coords={
+            "time": (("time",), time),
+            "nz": (("nz",), zf, {"units": "m", "positive": "down"}),
+            "nz1": (("nz1",), zc, {"units": "m", "positive": "down"}),
+        },
+    )

@@ -73,14 +73,21 @@ class ParticleMesh:
 
         Padding lanes are marked inactive (validity mask False), so the
         engine never advances or writes them.
+
+        Multi-process (``jax.process_count() > 1``): every process passes the
+        SAME global host SoA (seeding is deterministic); each process ships
+        only its own slice and the result is a global ``jax.Array`` over the
+        full mesh — the standard SPMD construction
+        (``jax.make_array_from_process_local_data``).
         """
         n = next(v.shape[0] for k, v in pdata.items() if k != "_rng")
         pad = (-n) % self.n
+        multiproc = jax.process_count() > 1
         out = {}
         for k, v in pdata.items():
             v = np.asarray(v)
             if k == "_rng":
-                out[k] = jax.device_put(jnp.asarray(v), self.replicated())
+                out[k] = self._put_replicated(jnp.asarray(v))
                 continue
             if pad:
                 fill = np.zeros((pad,) + v.shape[1:], dtype=v.dtype)
@@ -89,13 +96,44 @@ class ParticleMesh:
                 v = np.concatenate([v, fill], axis=0)
             if k == "_active" and pad:
                 v[n:] = False
-            out[k] = jax.device_put(jnp.asarray(v), self.particle_sharding(v.ndim))
+            sh = self.particle_sharding(v.ndim)
+            if multiproc:
+                total = v.shape[0]
+                per_proc = total // jax.process_count()
+                lo = jax.process_index() * per_proc
+                out[k] = jax.make_array_from_process_local_data(
+                    sh, v[lo : lo + per_proc], v.shape
+                )
+            else:
+                out[k] = jax.device_put(jnp.asarray(v), sh)
         return out
 
-    def shard_fields(self, farrays: dict) -> dict:
-        """Replicate field/grid arrays across the mesh."""
+    def gather_soa(self, pdata: dict) -> dict:
+        """Pull the sharded SoA back to host numpy on every process.
+
+        Single-process: plain device-to-host copies. Multi-process: a
+        ``process_allgather`` so every host sees the full global SoA
+        (trajectory output and host-side seeding need global state)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return {
+                k: np.asarray(multihost_utils.process_allgather(v, tiled=True))
+                if k != "_rng"
+                else np.asarray(v)
+                for k, v in pdata.items()
+            }
+        return {k: np.asarray(v) for k, v in pdata.items()}
+
+    def _put_replicated(self, a):
         rep = self.replicated()
-        return jax.tree_util.tree_map(lambda a: jax.device_put(a, rep), farrays)
+        if jax.process_count() > 1:
+            return jax.make_array_from_callback(a.shape, rep, lambda idx: np.asarray(a)[idx])
+        return jax.device_put(a, rep)
+
+    def shard_fields(self, farrays: dict) -> dict:
+        """Replicate field/grid arrays across the mesh (multi-process safe)."""
+        return jax.tree_util.tree_map(self._put_replicated, farrays)
 
 
 def shard_particleset(pset, pmesh):

@@ -15,9 +15,18 @@ from parcels_tpu.datasets import (
     simple_UV_dataset,
     stommel_gyre_dataset,
 )
-from parcels_tpu.datasets.unstructured import delaunay_flow_dataset
+from parcels_tpu.datasets.moi import moi_like_inputs
+from parcels_tpu.datasets.structured import curvilinear_rotated_dataset, padded_variant_dataset
+from parcels_tpu.datasets.unstructured import delaunay_flow_dataset, fesom2_style_dataset
 
 __all__ = ["list_datasets", "open_dataset"]
+
+def _moi_like_sgrid(**kw):
+    from parcels_tpu import convert
+
+    fields, coords = moi_like_inputs(**kw)
+    return convert.nemo_to_sgrid(fields=fields, coords=coords)
+
 
 _DATASETS = {
     "simple_UV": simple_UV_dataset,
@@ -27,6 +36,10 @@ _DATASETS = {
     "peninsula": peninsula_dataset,
     "stommel_gyre": stommel_gyre_dataset,
     "delaunay_flow": delaunay_flow_dataset,
+    "curvilinear_rotated": curvilinear_rotated_dataset,
+    "padded_variant": padded_variant_dataset,
+    "fesom2_style": fesom2_style_dataset,
+    "moi_like": _moi_like_sgrid,
 }
 
 

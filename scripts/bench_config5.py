@@ -1,0 +1,219 @@
+"""Config-5-shaped benchmark: 10M particles, RK4, global 1/12-degree-like
+curvilinear C-grid (MOi-shaped) forcing — single-chip, with HBM roofline
+accounting.
+
+BASELINE.json config 5 is "Global NEMO 1/12deg forcing, 10M particles sharded
+across N>=2 hosts with particle migration"; multi-host hardware is not
+available in this container, so this measures the per-chip term (the
+numerator of scaling efficiency) on the real TPU, while the 8-way virtual
+mesh correctness lives in tests/test_domain.py::
+test_moi_shaped_banded_matches_single_device.
+
+Roofline model (the "interpolation gather at HBM-bandwidth-bound speed" gate
+in BASELINE.json): the minimum HBM traffic per particle-step for C-grid RK4
+with the geometry table, assuming every needed word is read exactly once at
+perfect granularity:
+
+    per RK stage and component: 4 face velocities x 2 time levels x 4 B
+    per RK stage: geometry row 9 x 4 B
+    => (2 comps x 32 B + 36 B) x 4 stages = 400 B / particle-step
+
+That model gives an upper-bound rate = BW / 400 B. Real gathers fetch
+512-byte granules, so the *achievable* bound is far lower unless lanes are
+sorted so neighbors share granules — which is exactly what the binned+sorted
+engine mode restores. The script also measures streamed HBM bandwidth
+on-chip (saxpy over ~2 GB) so the roofline denominator is the machine's own
+number, not a datasheet's.
+
+Env knobs: N (default 10_000_000), STEPS (default 10), MODES (default
+"off,force"), SHAPE
+(default 2,50,1500,2000 ~ 1.2 GB/component f32), DT (default 600 s).
+"""
+
+import os
+import time
+
+import numpy as np
+
+
+def _cache():
+    import jax
+
+    os.makedirs("/tmp/jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def measured_hbm_bw(nbytes=2 << 30):
+    """Streamed read+write bandwidth via jitted saxpy over nbytes of f32."""
+    import jax
+    import jax.numpy as jnp
+
+    n = nbytes // 4
+    x = jnp.ones((n,), jnp.float32)
+
+    @jax.jit
+    def saxpy(x):
+        return x * 1.0001 + 0.5
+
+    y = saxpy(x)
+    np.asarray(y[:1])
+
+    def run(k):
+        t0 = time.perf_counter()
+        z = x
+        for _ in range(k):
+            z = saxpy(z)
+        np.asarray(z[:1])
+        return time.perf_counter() - t0
+
+    elapsed = run(9) - run(1)
+    # 8 saxpy passes, each reads + writes nbytes
+    return 8 * 2 * nbytes / max(elapsed, 1e-9)
+
+
+def build_fieldset(shape):
+    """MOi-shaped fieldset with near-free host data (broadcast zeros); the
+    device field arrays are generated on-chip afterwards to keep gigabytes
+    off the (slow) TPU tunnel."""
+    from parcels_tpu import FieldSet
+    from parcels_tpu.convert import nemo_to_sgrid
+    from parcels_tpu.datasets.moi import moi_like_inputs
+
+    tdim, zdim, ydim, xdim = shape
+    fields, coords = moi_like_inputs(
+        xdim=xdim, ydim=ydim, zdim=zdim, tdim=tdim, zero_data=True
+    )
+    ds = nemo_to_sgrid(fields=fields, coords=coords)
+    return FieldSet.from_sgrid_conventions(ds)
+
+
+def device_farrays(fs, seed=3):
+    """grids via the normal host path (coords + geometry table, ~150 MB);
+    U/V generated directly on device."""
+    import jax
+    import jax.numpy as jnp
+
+    from parcels_tpu._core.field import Field
+
+    farrays = {"grids": [g.device_arrays(np.float32) for g in fs._gridset], "fields": {}}
+    key = jax.random.PRNGKey(seed)
+    for name, f in fs._fields.items():
+        if isinstance(f, Field):
+            key, k = jax.random.split(key)
+            farrays["fields"][name] = jax.random.uniform(
+                k, f.data.shape, jnp.float32, -0.3, 0.3
+            )
+    object.__setattr__(fs, "_device_cache", farrays)
+    return farrays
+
+
+def device_pdata(npart, seed=1, dt=600.0):
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(seed)
+    kx, ky = jax.random.split(key)
+    return {
+        "t": jnp.zeros(npart, jnp.float32),
+        "z": jnp.full(npart, 1.0, jnp.float32),
+        "y": jax.random.uniform(ky, (npart,), jnp.float32, -60.0, 70.0),
+        "x": jax.random.uniform(kx, (npart,), jnp.float32, -170.0, 170.0),
+        "dz": jnp.zeros(npart, jnp.float32),
+        "dy": jnp.zeros(npart, jnp.float32),
+        "dx": jnp.zeros(npart, jnp.float32),
+        "particle_id": jnp.arange(npart, dtype=jnp.int32),
+        "dt": jnp.full(npart, dt, jnp.float32),
+        "state": jnp.full(npart, 10, jnp.int32),
+        "ei": jnp.zeros((npart, 1), jnp.int32),
+        "_tc": jnp.zeros(npart, jnp.float32),
+        "_active": jnp.ones(npart, bool),
+        "_rng": jnp.asarray(np.array([12345, 6789], np.uint32)),
+    }
+
+
+def run_bench(fs, npart, steps, dt):
+    import jax.numpy as jnp
+
+    from parcels_tpu._core.engine import build_chunk_executor
+    from parcels_tpu.kernels import AdvectionRK4
+
+    executor = build_chunk_executor(
+        (AdvectionRK4,), fs, sign_dt=1, rk45_mode=False, donate=False,
+        block_size=max(npart, 2**21),
+    )
+    farrays = device_farrays(fs)
+    pdata0 = device_pdata(npart, dt=dt)
+    pdata = executor(farrays, pdata0, jnp.float32(dt), jnp.float32(dt))
+    np.asarray(pdata["t"][:1])  # compile + ei-cache warm, tunnel-safe sync
+
+    def run(k):
+        t0 = time.perf_counter()
+        out = executor(farrays, pdata, jnp.float32(dt * (k + 1)), jnp.float32(dt))
+        np.asarray(out["t"][:1])
+        return time.perf_counter() - t0
+
+    k0 = max(steps // 10, 1)
+    elapsed = run(steps + k0) - run(k0)
+
+    out = executor(farrays, pdata, jnp.float32(dt * (steps + 1)), jnp.float32(dt))
+    ok = jnp.all(jnp.where(out["_active"], out["t"] == np.float32(dt * (steps + 1)), True))
+    frac = float(np.asarray(jnp.mean(out["_active"].astype(jnp.float32))))
+    assert bool(np.asarray(ok)), "clock did not advance uniformly"
+    return npart * steps / max(elapsed, 1e-9), frac
+
+
+GATHER_BYTES_PER_STEP = (2 * 4 * 2 * 4 + 9 * 4) * 4  # = 400 B, see module docstring
+
+
+def main():
+    import jax
+
+    _cache()
+    npart = int(os.environ.get("N", 10_000_000))
+    steps = int(os.environ.get("STEPS", 10))
+    dt = float(os.environ.get("DT", 600.0))
+    shape = tuple(int(s) for s in os.environ.get("SHAPE", "2,50,1500,2000").split(","))
+    dev = jax.devices()[0]
+    per_comp = np.prod(shape) * 4 / 2**30
+    print(f"device={dev.platform} field {shape} (~{per_comp:.2f} GiB/component), "
+          f"n={npart}, {steps} steps, dt={dt}s", flush=True)
+
+    bw = measured_hbm_bw()
+    print(f"measured streamed HBM bandwidth: {bw/1e9:.0f} GB/s", flush=True)
+
+    results = {}
+    modes = tuple(os.environ.get("MODES", "off,force").split(","))
+    for mode in modes:
+        os.environ["PARCELS_TPU_SORT_MODE"] = mode
+        os.environ["PARCELS_TPU_BINNED"] = mode
+        fs = build_fieldset(shape)
+        try:
+            rate, frac = run_bench(fs, npart, steps, dt)
+        except Exception as e:  # tunnel/worker crashes kill one mode, not the run
+            print(f"mode {mode} failed: {type(e).__name__}: {str(e)[:200]}", flush=True)
+            continue
+        label = "binned+sorted" if mode == "force" else "gather"
+        results[label] = rate
+        implied = rate * GATHER_BYTES_PER_STEP
+        bound = bw / GATHER_BYTES_PER_STEP
+        print(
+            f"C-grid RK4 {label:>13}: {rate/1e6:8.2f} M particle-steps/s "
+            f"(active {frac:.3f}) | min-traffic model: {implied/1e9:6.1f} GB/s implied, "
+            f"bound {bound/1e6:.1f} M steps/s, at {100*rate/bound:5.1f}% of bound",
+            flush=True,
+        )
+
+    import json
+
+    print(json.dumps({
+        "metric": "config5 particle-steps/sec/chip (RK4, 10M, MOi-shaped C-grid)",
+        "gather": round(results.get("gather", 0.0), 1),
+        "binned_sorted": round(results.get("binned+sorted", 0.0), 1),
+        "hbm_bw_measured_GBps": round(bw / 1e9, 1),
+        "gather_model_bytes_per_step": GATHER_BYTES_PER_STEP,
+    }))
+
+
+if __name__ == "__main__":
+    main()

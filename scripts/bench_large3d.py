@@ -63,6 +63,7 @@ def device_pdata(npart, seed=1):
         "dt": jnp.full(npart, 60.0, jnp.float32),
         "state": jnp.full(npart, 10, jnp.int32),
         "ei": jnp.zeros((npart, 1), jnp.int32),
+        "_tc": jnp.zeros(npart, jnp.float32),
         "_active": jnp.ones(npart, bool),
         "_rng": jnp.asarray(np.array([12345, 6789], np.uint32)),
     }

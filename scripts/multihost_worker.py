@@ -1,0 +1,85 @@
+"""Multi-process worker: true jax.distributed SPMD run of the engine.
+
+Launched N times (once per "host") by tests/test_multiprocess.py or manually:
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=4 \
+    python scripts/multihost_worker.py <process_id> <num_processes> <port>
+
+Each process owns 4 virtual CPU devices; together they form one global
+8-device mesh. All processes seed the same global particle set, shard it by
+ownership (ParticleMesh.shard_soa -> make_array_from_process_local_data),
+run a jitted RK4 chunk over the global mesh (gloo collectives between
+processes), allgather the SoA, and verify the closed form — the multi-host
+wiring that SURVEY.md section 2.2 requires and a single container can only
+exercise this way.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=4")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+
+def main():
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    from parcels_tpu.parallel import ParticleMesh, init_distributed
+
+    got = init_distributed(
+        coordinator_address=f"localhost:{port}", num_processes=nproc, process_id=pid
+    )
+    assert got == pid, (got, pid)
+    assert jax.process_count() == nproc
+
+    import jax.numpy as jnp
+
+    from parcels_tpu import FieldSet
+    from parcels_tpu._core.engine import build_chunk_executor
+    from parcels_tpu._core.particle import create_particle_data, get_default_particle
+    from parcels_tpu.datasets import simple_UV_dataset
+    from parcels_tpu.kernels import AdvectionRK4
+
+    u, v = 0.7, -0.3
+    ds = simple_UV_dataset(dims=(2, 2, 32, 32), mesh="flat")
+    ds["U"].values[:] = u
+    ds["V"].values[:] = v
+    fs = FieldSet.from_sgrid_conventions(ds, mesh="flat")
+
+    npart = 64
+    rng = np.random.default_rng(0)  # same seed on every process: global seeding
+    x = rng.uniform(-5e5, 5e5, npart).astype(np.float32)
+    y = rng.uniform(-5e5, 5e5, npart).astype(np.float32)
+    pdata = create_particle_data(
+        pclass=get_default_particle(),
+        nparticles=npart,
+        ngrids=len(fs._gridset),
+        initial={"x": x, "y": y},
+    )
+    pdata["state"][:] = 10  # Evaluate
+
+    pmesh = ParticleMesh()
+    assert pmesh.n == 4 * nproc, pmesh.n
+    farrays = pmesh.shard_fields(fs.device_arrays())
+    sdata = pmesh.shard_soa(pdata)
+    assert sdata["x"].sharding.num_devices == 4 * nproc
+
+    executor = build_chunk_executor(
+        (AdvectionRK4,), fs, sign_dt=1, rk45_mode=False, donate=False, block_size=2**21
+    )
+    dt, steps = 600.0, 12
+    out = executor(farrays, sdata, jnp.float32(dt * steps), jnp.float32(dt))
+
+    host = pmesh.gather_soa(out)
+    xs, ys = host["x"][:npart], host["y"][:npart]
+    np.testing.assert_allclose(xs, x + u * dt * steps, rtol=1e-5, atol=0.5)
+    np.testing.assert_allclose(ys, y + v * dt * steps, rtol=1e-5, atol=0.5)
+    print(f"proc {pid}/{nproc}: OK n={npart} global_devices={jax.device_count()}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -243,3 +243,42 @@ def test_near_pole_curvilinear_search():
     np.testing.assert_array_equal(
         np.asarray(gpos["Y"]["index"]), np.floor((qy - 89.0) / (0.9 / 7)).astype(int)
     )
+
+
+def test_edge_oscillation_rescued():
+    """A point riding a cell edge whose f32 local coords compute fractionally
+    outside BOTH neighbouring cells must not error out of the walk.
+
+    Regression: on the MOi-shaped global grid, lane (-106.19034, 29.881557)
+    computed xsi = 1.000018 in cell 40 and xsi = -2.0e-5 in cell 41 and
+    oscillated to GRID_SEARCH_ERROR under the old 1e-5 acceptance margin."""
+    import jax.numpy as jnp
+
+    from parcels_tpu._core import index_search as isr
+    from parcels_tpu.datasets import moi_like_fieldset
+
+    fs = moi_like_fieldset(xdim=200, ydim=150, zdim=4, u=0.1, v=0.0)
+    g = fs._gridset[0]
+    garrs = g.device_arrays(np.float32)
+    lon2d, lat2d = garrs["lon"], garrs["lat"]
+
+    # the original failing lane plus points exactly on node lines
+    lon_nodes = np.asarray(g.lon)
+    lat_nodes = np.asarray(g.lat)
+    xs = [np.float32(-106.19034)] + [np.float32(lon_nodes[60, i]) for i in (1, 50, 120)]
+    ys = [np.float32(29.881557)] + [np.float32(lat_nodes[60, i]) for i in (1, 50, 120)]
+    y = jnp.asarray(ys, jnp.float32)
+    x = jnp.asarray(xs, jnp.float32)
+    yi_g = jnp.zeros(len(xs), jnp.int32)
+    xi_g = jnp.zeros(len(xs), jnp.int32)
+    lk = g.lookup_meta()
+    lookup = {**lk, "yi": garrs["lookup_yi"], "xi": garrs["lookup_xi"]} if lk else None
+    yi, eta, xi, xsi = isr.curvilinear_search(
+        lon2d, lat2d, y, x, yi_g, xi_g, spherical=True, lookup=lookup
+    )
+    yi, xi = np.asarray(yi), np.asarray(xi)
+    assert (yi >= 0).all(), (yi, xi)
+    assert (xi >= 0).all(), (yi, xi)
+    # local coords within the (tolerance-widened) cell
+    assert np.all(np.asarray(xsi) > -1e-2) and np.all(np.asarray(xsi) < 1 + 1e-2)
+    assert np.all(np.asarray(eta) > -1e-2) and np.all(np.asarray(eta) < 1 + 1e-2)

@@ -338,3 +338,39 @@ def test_halo_sufficient_does_not_raise():
     shard_particleset(pset, dom)
     pset.execute(AdvectionEE, dt=np.timedelta64(2, "h"), runtime=np.timedelta64(1, "D"))
     np.testing.assert_allclose(pset.y, -9e5 + 20.0 * DAY, rtol=1e-6)
+
+
+def test_moi_shaped_banded_matches_single_device():
+    """Config-5 shape end-to-end: the MOi-like global curvilinear C-grid
+    fieldset (datasets/moi.py, mimicking the reference's MOi benchmark
+    registry entry at _datasets/remote.py:252-257) under 8-way Y-band
+    decomposition with migration reproduces the single-device trajectories,
+    and uniform flow matches the spherical closed form."""
+    from parcels_tpu import EARTH_RADIUS
+    from parcels_tpu.datasets import moi_like_fieldset
+
+    u = 0.25
+    rng = np.random.default_rng(5)
+    n = 32
+    x = rng.uniform(-150.0, 150.0, n)
+    y = rng.uniform(-60.0, 70.0, n)
+
+    fs_single = moi_like_fieldset(xdim=96, ydim=64, zdim=3, u=u, v=0.05)
+    assert fs_single._gridset[0].spec.curvilinear
+    assert fs_single._gridset[0].spec.spherical
+    xs, ys = _run(fs_single, x, y, AdvectionRK4, DAY, 1800)
+
+    # closed-form check away from the distorted northern rows
+    deg2m = EARTH_RADIUS * np.pi / 180.0
+    south = y < 0.0
+    exp_y = y + 0.05 * DAY / deg2m
+    np.testing.assert_allclose(ys[south], exp_y[south], atol=2e-3)
+
+    fs_dom = moi_like_fieldset(xdim=96, ydim=64, zdim=3, u=u, v=0.05)
+    dom = YBandDomain(fs_dom, n_bands=8, halo=3)
+    assert dom.curvilinear
+    grids = dom.stacked_farrays()["grids"]
+    assert any("cgrid_geom" in g for g in grids)
+    xd, yd = _run(fs_dom, x, y, AdvectionRK4, DAY, 1800, domain=dom)
+    np.testing.assert_allclose(xd, xs, rtol=1e-6, atol=1e-4)
+    np.testing.assert_allclose(yd, ys, rtol=1e-6, atol=1e-4)

@@ -142,3 +142,47 @@ def test_fieldset_add_combines_fields_and_context():
     fs3.add_context("alpha", 1.0)
     with pytest.raises(ValueError, match="context value names in common"):
         fs1 + fs3
+
+
+def test_remote_dataset_registry():
+    """Remote registry mirrors reference _datasets/remote.py:205-320: same
+    names, purpose filtering, benchmark entries served as generated local
+    equivalents (no network egress), clear errors otherwise."""
+    import warnings
+
+    import pytest as _pytest
+
+    from parcels_tpu.datasets import list_remote_datasets, open_remote_dataset
+
+    names = list_remote_datasets()
+    assert "Benchmarks_MOi_data_metadata-only/U" in names
+    assert "NemoNorthSeaORCA025-N006_data/mesh_mask" in names
+    testing = list_remote_datasets("testing")
+    assert all(n.startswith("Benchmarks_") for n in testing) and len(testing) == 6
+    with _pytest.raises(ValueError, match="purpose"):
+        list_remote_datasets("nope")
+
+    with _pytest.warns(UserWarning, match="local equivalent"):
+        u = open_remote_dataset("Benchmarks_MOi_data_metadata-only/U")
+    assert "vozocrtx" in u.data_vars
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        mesh = open_remote_dataset("Benchmarks_MOi_data_metadata-only/mesh")
+        grid = open_remote_dataset("Benchmarks_FESOM2-baroclinic-gyre/grid")
+    assert "glamf" in mesh.coords
+    assert "face_nodes" in grid.data_vars
+
+    with _pytest.raises(RuntimeError, match="network"):
+        open_remote_dataset("SCHISM_LakeOntario/out2d")
+    with _pytest.raises(ValueError, match="Unknown remote dataset"):
+        open_remote_dataset("bogus/entry")
+
+
+def test_fesom2_style_through_convert():
+    """The FESOM2-native mimic passes through fesom_to_ugrid naming."""
+    from parcels_tpu import convert
+    from parcels_tpu.datasets import fesom2_style_dataset
+
+    ds = fesom2_style_dataset("data")
+    out = convert.fesom_to_ugrid(ds)
+    assert "zf" in out.sizes and "zc" in out.sizes

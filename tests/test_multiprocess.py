@@ -1,0 +1,48 @@
+"""True multi-process SPMD: 2 jax.distributed processes x 4 devices each.
+
+The reference has no distributed backend (SURVEY.md section 2.2); the TPU
+build's multi-host contract is that the same script runs unchanged on 1 or N
+hosts with trajectories preserved. This launches 2 OS processes that form a
+global 8-device mesh over gloo, shard one global particle set by ownership,
+run the jitted engine, allgather, and check the closed form — the strongest
+multi-host validation a single container allows.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+@pytest.mark.slow
+def test_two_process_spmd_engine():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(ROOT / "scripts" / "multihost_worker.py"), str(i), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env, cwd=ROOT,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        assert f"proc {i}/2: OK" in out, out[-1500:]
+        assert "global_devices=8" in out
