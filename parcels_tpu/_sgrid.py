@@ -96,6 +96,34 @@ def _load_pairs(s: str) -> tuple:
     return tuple(parts)
 
 
+def _fnp_diagram(fnp: "FaceNodePadding") -> list[str]:
+    """ASCII lines visualizing one face/node padding relation.
+
+    Nodes render as ``●`` with their indices below; each ``───`` span is one
+    face cell with its index centered under it (capability parity with the
+    reference's grid diagrams, _sgrid/core.py:481-653).
+    """
+    seg = 5
+    layouts = {
+        Padding.NONE: "n-n-n-n-n",
+        Padding.LOW: "-n-n-n-n-n",
+        Padding.HIGH: "n-n-n-n-n-",
+        Padding.BOTH: "-n-n-n-n-n-",
+    }
+    bar, label = "", ""
+    n_i = f_i = 0
+    for ch in layouts[fnp.padding]:
+        if ch == "n":
+            bar += "●"
+            label += str(n_i)
+            n_i += 1
+        else:
+            bar += "─" * seg
+            label += str(f_i).center(seg)
+            f_i += 1
+    return [f"{fnp.face}:{fnp.node} (padding:{fnp.padding.value})", f"  {bar}", f"  {label.rstrip()}"]
+
+
 @dataclass(frozen=True)
 class SGrid2DMetadata:
     """2-D (optionally layered) SGRID topology description."""
@@ -158,6 +186,12 @@ class SGrid2DMetadata:
     @property
     def _pairs(self) -> tuple[FaceNodePadding, ...]:
         return tuple(self.face_dimensions) + tuple(self.vertical_dimensions or ())
+
+    def __str__(self) -> str:
+        lines = [f"SGrid2DMetadata nodes=({', '.join(self.node_dimensions)})"]
+        for fnp in self._pairs:
+            lines += _fnp_diagram(fnp)
+        return "\n".join(lines)
 
     def axis_padding(self, axis: str) -> Padding:
         fnp_x, fnp_y = self.face_dimensions
@@ -231,6 +265,12 @@ class SGrid3DMetadata:
     @property
     def _pairs(self) -> tuple[FaceNodePadding, ...]:
         return self.volume_dimensions
+
+    def __str__(self) -> str:
+        lines = [f"SGrid3DMetadata nodes=({', '.join(self.node_dimensions)})"]
+        for fnp in self._pairs:
+            lines += _fnp_diagram(fnp)
+        return "\n".join(lines)
 
 
 def attach_sgrid_metadata(ds: xr.Dataset, grid: "SGrid2DMetadata | SGrid3DMetadata") -> xr.Dataset:

@@ -186,3 +186,44 @@ def test_fesom2_style_through_convert():
     ds = fesom2_style_dataset("data")
     out = convert.fesom_to_ugrid(ds)
     assert "zf" in out.sizes and "zc" in out.sizes
+
+
+def test_v3to4_compat_patch():
+    """v3-era 'Unit' attrs are renamed to 'units' (reference _v3to4.py)."""
+    from parcels_tpu import xrlite as xr
+    from parcels_tpu._v3to4 import patch_dataset_v4_compat
+
+    ds = xr.Dataset({"U": (("x",), np.zeros(3), {"Unit": "m/s"})},
+                    coords={"x": (("x",), np.arange(3.0), {"Unit": "m"})})
+    out = patch_dataset_v4_compat(ds)
+    assert out["U"].attrs == {"units": "m/s"}
+    assert out["x"].attrs == {"units": "m"}
+
+
+def test_tutorial_registry_widened():
+    from parcels_tpu import tutorial
+
+    names = tutorial.list_datasets()
+    for n in ("moi_like", "padded_variant", "fesom2_style", "curvilinear_rotated"):
+        assert n in names
+    ds = tutorial.open_dataset("padded_variant", variant="outer")
+    assert "data_c" in ds.data_vars
+    with pytest.raises(ValueError, match="Unknown tutorial dataset"):
+        tutorial.open_dataset("bogus")
+
+
+def test_deprecated_decorator():
+    import warnings
+
+    from parcels_tpu._decorators import deprecated
+
+    @deprecated("Use new_fn instead.")
+    def old_fn(a):
+        """Old."""
+        return a * 2
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert old_fn(3) == 6
+    assert any(issubclass(w.category, DeprecationWarning) for w in rec)
+    assert "deprecated" in (old_fn.__doc__ or "")

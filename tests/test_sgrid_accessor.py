@@ -231,3 +231,13 @@ def test_strategy_dataset_requires_node_coordinates():
         warnings.simplefilter("ignore")
         with pytest.raises(ValueError, match="node_coordinates"):
             sgrid_dataset(grid=meta).example()
+
+
+def test_ascii_diagrams():
+    """str() renders padding bar diagrams (reference core.py:481-653)."""
+    meta = sgrid.parse_sgrid_metadata(padded_variant_dataset("right"))
+    s = str(meta)
+    assert "XC:XG (padding:low)" in s
+    assert "●" in s and "─" in s
+    s3 = str(_meta3d())
+    assert "SGrid3DMetadata" in s3 and "ZC:ZG (padding:both)" in s3
