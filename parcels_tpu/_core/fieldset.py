@@ -316,6 +316,10 @@ class FieldSet:
             fs.add_field(f)
 
         for vname, components in vector_fields.items():
+            if len(components) not in (2, 3):
+                raise ValueError(
+                    f"Vector field {vname!r} must have either 2 or 3 components; got {len(components)}."
+                )
             for c in components:
                 if c not in scalar_fields:
                     raise ValueError(f"Vector field {vname!r} component {c!r} not in dataset.")
@@ -414,6 +418,10 @@ class FieldSet:
         if vector_fields is None:
             vector_fields = _default_vector_field_components(scalar_fields)
         for vname, components in vector_fields.items():
+            if len(components) not in (2, 3):
+                raise ValueError(
+                    f"Vector field {vname!r} must have either 2 or 3 components; got {len(components)}."
+                )
             for c in components:
                 if c not in scalar_fields:
                     raise ValueError(f"Vector field {vname!r} component {c!r} not in dataset.")
