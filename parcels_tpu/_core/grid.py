@@ -223,6 +223,43 @@ class XGrid(BaseGrid):
         self._cgrid_geom_cache = geom
         return geom
 
+    def localize(self, position: dict, dims) -> dict:
+        """Convert an f-point search position to a variable's staggered frame.
+
+        Reference API (xgrid.py:233-281 + ``_convert_center_pos_to_fpoint``
+        :538-565): given ``position`` as ``{axis: (index, bcoord)}`` (tuples
+        or the ``{"index", "bcoord"}`` dicts `search` returns) and the
+        variable's ``dims``, return ``{dim: (index, bcoord)}`` in the frame
+        of the staggered grid the variable lives on. Face-placed dims shift
+        the barycentric coordinate by -0.5 (borrowing a cell when it goes
+        negative) and add the LOW/BOTH-padding index offset; node-placed
+        dims pass through.
+        """
+        md = self.sgrid_metadata
+        dim_to_axis = md.dim_to_axis()
+        axis_to_dim = {dim_to_axis[d]: d for d in dims if d in dim_to_axis}
+        out = {}
+        for axis, pos in position.items():
+            if axis not in axis_to_dim:
+                continue
+            dim = axis_to_dim[axis]
+            index, bcoord = (pos["index"], pos["bcoord"]) if isinstance(pos, dict) else pos
+            scalar = np.ndim(index) == 0
+            index = np.asarray(index)
+            bcoord = np.asarray(bcoord, dtype=np.float64)
+            if md.dim_position(dim) == "face":
+                bcoord = bcoord - 0.5
+                borrow = bcoord < 0
+                bcoord = np.where(borrow, bcoord + 1.0, bcoord)
+                index = index - borrow.astype(index.dtype)
+                if md.axis_padding(axis) in (sgrid.Padding.BOTH, sgrid.Padding.LOW):
+                    index = index + 1
+            if scalar:
+                out[dim] = (int(index), float(bcoord))
+            else:
+                out[dim] = (index, bcoord)
+        return out
+
     def lookup_meta(self) -> dict | None:
         if self._lookup is None:
             return None

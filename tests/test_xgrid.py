@@ -131,3 +131,54 @@ def test_time_values_are_seconds_from_interval_start():
     assert grid.time[0] == 0.0
     assert np.all(np.diff(grid.time) > 0)
     assert grid.time.dtype == np.float64
+
+
+def test_localize_padding_variants():
+    """Reference localize semantics across padding layouts
+    (reference tests/test_xgrid.py:295-335, xgrid.py:233-281).
+
+    At the exact origin node (bcoord 0 on every axis), a variable on a
+    face dim localizes to bcoord 0.5 with the index shifted per padding:
+    HIGH (MITgcm 'left') keeps borrowed index -1; LOW (NEMO 'right')
+    cancels the borrow to index 0."""
+    from parcels_tpu import FieldSet
+    from parcels_tpu.datasets import padded_variant_dataset
+
+    for variant, exp_idx in (("left", -1), ("right", 0)):
+        ds = padded_variant_dataset(variant)
+        fs = FieldSet.from_sgrid_conventions(
+            ds, mesh="flat", vector_fields={"UV": ("U_A_grid", "V_A_grid")}
+        )
+        grid = fs._gridset[0]
+        pos = grid.search(0.0, 0.0, 0.0)
+        # V_C_grid lives on (ZG, YG, XC): only X is face-placed
+        loc = grid.localize({ax: (int(p["index"][0]), float(p["bcoord"][0]))
+                             for ax, p in pos.items()}, ("time", "ZG", "YG", "XC"))
+        assert loc["XC"] == (exp_idx, 0.5), (variant, loc)
+        assert loc["YG"] == (0, 0.0)
+        assert loc["ZG"] == (0, 0.0)
+        # U_C_grid: only Y is face-placed
+        loc_u = grid.localize({ax: (int(p["index"][0]), float(p["bcoord"][0]))
+                               for ax, p in pos.items()}, ("time", "ZG", "YC", "XG"))
+        assert loc_u["YC"] == (exp_idx, 0.5), (variant, loc_u)
+        assert loc_u["XG"] == (0, 0.0)
+
+
+def test_localize_interior_point_and_arrays():
+    from parcels_tpu import FieldSet
+    from parcels_tpu.datasets import padded_variant_dataset
+
+    ds = padded_variant_dataset("right", dx=1000.0)
+    fs = FieldSet.from_sgrid_conventions(
+        ds, mesh="flat", vector_fields={"UV": ("U_A_grid", "V_A_grid")}
+    )
+    grid = fs._gridset[0]
+    pos = grid.search(0.0, 3250.0, 2750.0)  # cell (3, 2), bcoords (0.25, 0.75)
+    loc = grid.localize(pos, ("ZG", "YC", "XC"))
+    yi, yb = loc["YC"]
+    xi, xb = loc["XC"]
+    # face frame: bcoord-0.5 (borrow when negative) then +1 for LOW padding
+    np.testing.assert_allclose(yb, 0.75, atol=1e-6)  # 0.25-0.5 -> borrow -> 0.75, idx 3-1+1=3
+    np.testing.assert_array_equal(yi, 3)
+    np.testing.assert_allclose(xb, 0.25, atol=1e-6)  # 0.75-0.5 -> 0.25, idx 2+1=3
+    np.testing.assert_array_equal(xi, 3)
