@@ -163,7 +163,16 @@ def _project_cell_and_query(clon, clat, x, y):
     """
     cX, cY, cZ = _latlon_to_xyz(clat, clon)
     qX, qY, qZ = _latlon_to_xyz(y, x)
+    return _project_cell_and_query_xyz(cX, cY, cZ, qX, qY, qZ)
 
+
+def _project_cell_and_query_xyz(cX, cY, cZ, qX, qY, qZ):
+    """Tangent-plane projection from precomputed unit-sphere coordinates.
+
+    Split out so the walk can gather corner XYZ from grid-wide precomputed
+    arrays (one trig pass over the grid) instead of re-running
+    cos/sin per corner per iteration per lane.
+    """
     ux = (cX[1] + cX[2]) - (cX[0] + cX[3])
     uy = (cY[1] + cY[2]) - (cY[0] + cY[3])
     uz = (cZ[1] + cZ[2]) - (cZ[0] + cZ[3])
@@ -190,23 +199,38 @@ def _project_cell_and_query(clon, clat, x, y):
 
 def _gather_cell_corners(lon2d, lat2d, yi, xi):
     """Gather the 4 corner coordinates of cells (yi, xi) -> two (4, n) arrays."""
-    ydim, xdim = lon2d.shape
+    return _gather_corners_k((lon2d, lat2d), yi, xi)
+
+
+def _gather_corners_k(arrays2d, yi, xi):
+    """Gather 4 cell corners from each of k same-shaped 2-D arrays.
+
+    Returns a tuple of k ``(4, n)`` arrays in corner order
+    p0=(y,x), p1=(y,x+1), p2=(y+1,x+1), p3=(y+1,x).
+    """
+    ydim, xdim = arrays2d[0].shape
     yi0 = jnp.clip(yi, 0, ydim - 2)
     xi0 = jnp.clip(xi, 0, xdim - 2)
-    flat_lon = lon2d.reshape(-1)
-    flat_lat = lat2d.reshape(-1)
+    flats = [a.reshape(-1) for a in arrays2d]
+    idx = [(yi0 + dy) * xdim + (xi0 + dx) for dy, dx in ((0, 0), (0, 1), (1, 1), (1, 0))]
+    return tuple(jnp.stack([f[i] for i in idx]) for f in flats)
 
-    def gather(dy, dx):
-        idx = (yi0 + dy) * xdim + (xi0 + dx)
-        return flat_lon[idx], flat_lat[idx]
 
-    l00, t00 = gather(0, 0)
-    l01, t01 = gather(0, 1)
-    l11, t11 = gather(1, 1)
-    l10, t10 = gather(1, 0)
-    clon = jnp.stack([l00, l01, l11, l10])
-    clat = jnp.stack([t00, t01, t11, t10])
-    return clon, clat
+# f32-aware acceptance margin: a point riding a cell edge can compute as
+# fractionally outside BOTH neighbouring cells under fused f32 rounding
+# (the reference's zero-tolerance check is safe only in f64); without the
+# margin the walk oscillates between the two cells and errors out. The
+# margin is in cell-fraction units; 2e-4 covers the observed f32 noise of
+# the tangent-plane inverse at global coordinates (measured 2e-5 at
+# lon~106 on a 1.8-degree cell) with an order of headroom. A point
+# accepted up to 2e-4 outside simply gets a clamped-weight interpolation.
+_PIC_TOL = 2e-4
+
+
+def _tol_check(xsi, eta):
+    return (
+        (xsi >= -_PIC_TOL) & (xsi <= 1 + _PIC_TOL) & (eta >= -_PIC_TOL) & (eta <= 1 + _PIC_TOL)
+    )
 
 
 def curvilinear_point_in_cell(lon2d, lat2d, y, x, yi, xi, spherical: bool):
@@ -215,25 +239,40 @@ def curvilinear_point_in_cell(lon2d, lat2d, y, x, yi, xi, spherical: bool):
     Returns (in_cell bool, xsi, eta). For spherical meshes the inverse runs
     in a tangent plane through the cell (reference index_search.py:94-119).
     """
-    clon, clat = _gather_cell_corners(lon2d, lat2d, yi, xi)
+    return _make_point_in_cell(lon2d, lat2d, y, x, spherical)(yi, xi)
+
+
+def _make_point_in_cell(lon2d, lat2d, y, x, spherical: bool):
+    """Build a ``pic(yi, xi) -> (in_cell, xsi, eta)`` closure for fixed
+    queries.
+
+    Hot-loop optimization: for spherical meshes the per-lane query XYZ and
+    the grid-wide node XYZ are computed ONCE here; each invocation then only
+    gathers 12 floats per lane and runs the projection arithmetic — no
+    trigonometry inside the walk.
+    """
     if spherical:
-        pu, pv, qu, qv = _project_cell_and_query(clon, clat, x, y)
-        xsi, eta = _bilinear_inverse(pu - pu[0], pv - pv[0], qu - pu[0], qv - pv[0])
+        gX, gY, gZ = _latlon_to_xyz(lat2d, lon2d)
+        qX, qY, qZ = _latlon_to_xyz(y, x)
+
+        def pic(yi, xi):
+            cX, cY, cZ = _gather_corners_k((gX, gY, gZ), yi, xi)
+            pu, pv, qu, qv = _project_cell_and_query_xyz(cX, cY, cZ, qX, qY, qZ)
+            xsi, eta = _bilinear_inverse(pu - pu[0], pv - pv[0], qu - pu[0], qv - pv[0])
+            return _tol_check(xsi, eta), xsi, eta
+
     else:
-        # invert in cell-local coordinates: at global coords ~1e5 m the
-        # quadratic-formula terms cancel catastrophically in f32
-        xsi, eta = _bilinear_inverse(clon - clon[0], clat - clat[0], x - clon[0], y - clat[0])
-    # f32-aware acceptance margin: a point riding a cell edge can compute as
-    # fractionally outside BOTH neighbouring cells under fused f32 rounding
-    # (the reference's zero-tolerance check is safe only in f64); without the
-    # margin the walk oscillates between the two cells and errors out. The
-    # margin is in cell-fraction units; 2e-4 covers the observed f32 noise of
-    # the tangent-plane inverse at global coordinates (measured 2e-5 at
-    # lon~106 on a 1.8-degree cell) with an order of headroom. A point
-    # accepted up to 2e-4 outside simply gets a clamped-weight interpolation.
-    tol = 2e-4
-    in_cell = (xsi >= -tol) & (xsi <= 1 + tol) & (eta >= -tol) & (eta <= 1 + tol)
-    return in_cell, xsi, eta
+
+        def pic(yi, xi):
+            # invert in cell-local coordinates: at global coords ~1e5 m the
+            # quadratic-formula terms cancel catastrophically in f32
+            clon, clat = _gather_cell_corners(lon2d, lat2d, yi, xi)
+            xsi, eta = _bilinear_inverse(
+                clon - clon[0], clat - clat[0], x - clon[0], y - clat[0]
+            )
+            return _tol_check(xsi, eta), xsi, eta
+
+    return pic
 
 
 def curvilinear_search(
@@ -265,7 +304,8 @@ def curvilinear_search(
     yi = jnp.clip(yi_guess, 0, ydim - 2)
     xi = jnp.clip(xi_guess, 0, xdim - 2)
 
-    in_cell, xsi, eta = curvilinear_point_in_cell(lon2d, lat2d, y, x, yi, xi, spherical)
+    pic = _make_point_in_cell(lon2d, lat2d, y, x, spherical)
+    in_cell, xsi, eta = pic(yi, xi)
 
     if lookup is not None:
         # Re-seed misses from the coarse raster.
@@ -298,7 +338,7 @@ def curvilinear_search(
 
     def walk_body(_, carry):
         yi, xi, in_cell, xsi, eta, best = carry
-        ok, xsi_n, eta_n = curvilinear_point_in_cell(lon2d, lat2d, y, x, yi, xi, spherical)
+        ok, xsi_n, eta_n = pic(yi, xi)
         # Track the best (least-outside) cell seen: if the walk oscillates on
         # an edge where f32 rounding rejects BOTH neighbours, the nearest
         # candidate is recovered after the loop instead of erroring the lane.
@@ -333,7 +373,7 @@ def curvilinear_search(
         return yi, xi, found2, xsi2, eta2, best2
 
     # derive the carry from varying inputs (full_like/zeros_like) so the
-    # fori_loop carry has consistent varying-manual-axes under shard_map
+    # loop carry has consistent varying-manual-axes under shard_map
     best0 = (
         jnp.full_like(jnp.asarray(y, jnp.float32), jnp.inf),
         jnp.zeros_like(yi),
@@ -341,8 +381,23 @@ def curvilinear_search(
         jnp.zeros_like(jnp.asarray(y, jnp.float32)),
         jnp.zeros_like(jnp.asarray(y, jnp.float32)),
     )
-    yi, xi, found, xsi, eta, best = jax.lax.fori_loop(
-        0, n_walk, walk_body_frozen, (yi, xi, in_cell, xsi, eta, best0)
+
+    # Early-exit while_loop: with the engine's per-stage ei warm start the
+    # overwhelmingly common case is "every lane already in its cell", making
+    # the walk ZERO iterations (one cheap all-reduce decides). The previous
+    # fixed-trip fori_loop re-gathered corners 12x per sample regardless and
+    # dominated curvilinear step time at config-5 scale.
+    def walk_cond(carry):
+        i, state = carry
+        found = state[2]
+        return (i < n_walk) & jnp.any(~found)
+
+    def walk_step(carry):
+        i, state = carry
+        return i + 1, walk_body_frozen(i, state)
+
+    _, (yi, xi, found, xsi, eta, best) = jax.lax.while_loop(
+        walk_cond, walk_step, (jnp.int32(0), (yi, xi, in_cell, xsi, eta, best0))
     )
 
     # Rescue oscillating edge lanes: accept the nearest candidate when it is
