@@ -529,8 +529,6 @@ def _spatialslip(ppos, gpos, vf, a: float, b: float):
             m = m & land[k, jy, jx]
         return m
 
-    eps = 1e-18
-
     def factor(frac, low_land, high_land):
         f = jnp.ones_like(frac)
         low = low_land & (frac > 0)
@@ -556,7 +554,6 @@ def _spatialslip(ppos, gpos, vf, a: float, b: float):
         w = w * f_w
     else:
         w = jnp.zeros_like(u)
-    del eps
     return u, v, w
 
 

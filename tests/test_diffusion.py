@@ -77,3 +77,34 @@ def test_zero_kh_is_pure_advection():
         DiffusionUniformKh, dt=np.timedelta64(10, "m"), runtime=np.timedelta64(1, "h")
     )
     np.testing.assert_allclose(pset.x, 0.0, atol=1e-6)
+
+
+def test_diffusion_spherical_moments():
+    """Euler-Maruyama on a spherical mesh: displacement variance matches
+    2*Kh*t after the m^2 -> deg^2 conversion (reference
+    _advectiondiffusion.py:11-18 helpers; zonal variance scales by
+    1/cos(lat)^2)."""
+    from parcels_tpu import EARTH_RADIUS, FieldSet, ParticleSet
+    from parcels_tpu.datasets import simple_UV_dataset
+    from parcels_tpu.kernels import AdvectionDiffusionEM
+
+    KH = 50.0  # m^2/s
+    lat0 = 45.0
+    ds = simple_UV_dataset(dims=(2, 2, 30, 30), mesh="spherical")
+    fs = FieldSet.from_sgrid_conventions(ds, mesh="spherical")
+    fs.add_constant_field("Kh_zonal", KH)  # spherical (default)
+    fs.add_constant_field("Kh_meridional", KH)
+    fs.add_context("dres", 0.01)
+
+    n = 4000
+    pset = ParticleSet(fs, x=np.zeros(n), y=np.full(n, lat0), t=np.zeros(n))
+    T = 12 * 3600.0
+    pset.execute(AdvectionDiffusionEM, dt=np.timedelta64(600, "s"),
+                 runtime=np.timedelta64(12, "h"))
+
+    deg2m = EARTH_RADIUS * np.pi / 180.0
+    var_x_m = np.var(pset.x * deg2m * np.cos(np.deg2rad(lat0)))
+    var_y_m = np.var((pset.y - lat0) * deg2m)
+    exp = 2 * KH * T
+    assert abs(var_x_m - exp) / exp < 0.15, (var_x_m, exp)
+    assert abs(var_y_m - exp) / exp < 0.15, (var_y_m, exp)
