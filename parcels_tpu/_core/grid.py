@@ -197,6 +197,11 @@ class XGrid(BaseGrid):
         if self._lookup is not None:
             arrs["lookup_yi"] = jnp.asarray(self._lookup["yi"])
             arrs["lookup_xi"] = jnp.asarray(self._lookup["xi"])
+        if self.spec.curvilinear:
+            # per-cell tangent-frame table: turns the search's 12 scattered
+            # corner reads into ONE coalesced row-gather (index_search.
+            # build_pic_table; ~64 B/cell)
+            arrs["pic_table"] = jnp.asarray(self.pic_table())
         if getattr(self, "_needs_cgrid_geom", False) and "X" in self.axes and "Y" in self.axes:
             arrs["cgrid_geom"] = jnp.asarray(self.cgrid_geometry())
         return arrs
@@ -259,6 +264,14 @@ class XGrid(BaseGrid):
             else:
                 out[dim] = (index, bcoord)
         return out
+
+    def pic_table(self) -> np.ndarray:
+        """Memoized per-cell search-geometry table (index_search.build_pic_table)."""
+        cached = getattr(self, "_pic_table_cache", None)
+        if cached is None:
+            cached = index_search.build_pic_table(self.lon, self.lat, self.spec.spherical)
+            self._pic_table_cache = cached
+        return cached
 
     def lookup_meta(self) -> dict | None:
         if self._lookup is None:
@@ -449,7 +462,8 @@ def grid_search(spec: GridSpec, garrs: dict, z, y, x, ei=None, lookup_meta: dict
                 "xi": garrs["lookup_xi"],
             }
         yi, eta, xi, xsi = index_search.curvilinear_search(
-            garrs["lon"], garrs["lat"], y, x, yi_g, xi_g, spherical=spec.spherical, lookup=lookup
+            garrs["lon"], garrs["lat"], y, x, yi_g, xi_g, spherical=spec.spherical,
+            lookup=lookup, pic_table=garrs.get("pic_table")
         )
         return {
             "Z": {"index": zi, "bcoord": zeta},

@@ -242,6 +242,95 @@ def curvilinear_point_in_cell(lon2d, lat2d, y, x, yi, xi, spherical: bool):
     return _make_point_in_cell(lon2d, lat2d, y, x, spherical)(yi, xi)
 
 
+# Per-cell search-geometry table: row layout (16 x f32), built host-side in
+# f64 by build_pic_table. The per-lane point-in-cell then needs ONE coalesced
+# 16-float row-gather instead of 12 scattered corner reads from 3 arrays —
+# the same memoization that makes the C-grid velocity fast path
+# (grid.cgrid_geometry), applied to the search itself. Columns:
+#   0-2  p0 (cell origin) in the embedding frame (unit-sphere XYZ, or
+#        (lon, lat, 0) for flat meshes)
+#   3-5  eu  tangent-basis u axis
+#   6-8  ev  tangent-basis v axis
+#   9-14 (pu, pv) of corners 1..3 in the (eu, ev) frame (corner 0 is (0,0))
+#   15   pad (keeps the row 16-aligned for clean vector loads)
+PIC_TABLE_COLS = 16
+
+
+def build_pic_table(lon2d, lat2d, spherical: bool):
+    """Host-side (f64) per-cell tangent-frame table, (ny-1, nx-1, 16) f32."""
+    import numpy as np
+
+    lon = np.asarray(lon2d, dtype=np.float64)
+    lat = np.asarray(lat2d, dtype=np.float64)
+    if lon.ndim == 1:
+        lon, lat = np.meshgrid(lon, lat)
+    if spherical:
+        latr, lonr = np.deg2rad(lat), np.deg2rad(lon)
+        cl = np.cos(latr)
+        gx, gy, gz = np.cos(lonr) * cl, np.sin(lonr) * cl, np.sin(latr)
+    else:
+        gx, gy, gz = lon, lat, np.zeros_like(lon)
+
+    def corners(a):
+        return np.stack([a[:-1, :-1], a[:-1, 1:], a[1:, 1:], a[1:, :-1]])
+
+    cX, cY, cZ = corners(gx), corners(gy), corners(gz)
+    ux = (cX[1] + cX[2]) - (cX[0] + cX[3])
+    uy = (cY[1] + cY[2]) - (cY[0] + cY[3])
+    uz = (cZ[1] + cZ[2]) - (cZ[0] + cZ[3])
+    un = np.sqrt(ux * ux + uy * uy + uz * uz)
+    un[un == 0.0] = 1.0
+    eux, euy, euz = ux / un, uy / un, uz / un
+    vx = (cX[2] + cX[3]) - (cX[0] + cX[1])
+    vy = (cY[2] + cY[3]) - (cY[0] + cY[1])
+    vz = (cZ[2] + cZ[3]) - (cZ[0] + cZ[1])
+    vd = vx * eux + vy * euy + vz * euz
+    vx, vy, vz = vx - vd * eux, vy - vd * euy, vz - vd * euz
+    vn = np.sqrt(vx * vx + vy * vy + vz * vz)
+    vn[vn == 0.0] = 1.0
+    evx, evy, evz = vx / vn, vy / vn, vz / vn
+
+    dX, dY, dZ = cX - cX[0], cY - cY[0], cZ - cZ[0]
+    pu = dX * eux + dY * euy + dZ * euz  # (4, ny-1, nx-1); pu[0] == 0
+    pv = dX * evx + dY * evy + dZ * evz
+
+    ny1, nx1 = gx.shape[0] - 1, gx.shape[1] - 1
+    tbl = np.zeros((ny1, nx1, PIC_TABLE_COLS), dtype=np.float32)
+    tbl[..., 0], tbl[..., 1], tbl[..., 2] = cX[0], cY[0], cZ[0]
+    tbl[..., 3], tbl[..., 4], tbl[..., 5] = eux, euy, euz
+    tbl[..., 6], tbl[..., 7], tbl[..., 8] = evx, evy, evz
+    for k in range(1, 4):
+        tbl[..., 9 + 2 * (k - 1)] = pu[k]
+        tbl[..., 10 + 2 * (k - 1)] = pv[k]
+    return tbl
+
+
+def _make_point_in_cell_table(table_flat, ncols_x, y, x, spherical: bool):
+    """Table-backed pic closure: one row-gather per lane per invocation.
+
+    ``table_flat`` is the (cells, 16) flattened table; ``ncols_x`` the
+    number of cells per row (xdim - 1).
+    """
+    if spherical:
+        qX, qY, qZ = _latlon_to_xyz(y, x)
+    else:
+        qX, qY, qZ = x, y, jnp.zeros_like(x)
+
+    def pic(yi, xi):
+        row = table_flat[yi * ncols_x + xi]  # (n, 16)
+        dx = qX - row[:, 0]
+        dy = qY - row[:, 1]
+        dz = qZ - row[:, 2]
+        qu = dx * row[:, 3] + dy * row[:, 4] + dz * row[:, 5]
+        qv = dx * row[:, 6] + dy * row[:, 7] + dz * row[:, 8]
+        pu = jnp.stack([jnp.zeros_like(qu), row[:, 9], row[:, 11], row[:, 13]])
+        pv = jnp.stack([jnp.zeros_like(qv), row[:, 10], row[:, 12], row[:, 14]])
+        xsi, eta = _bilinear_inverse(pu, pv, qu, qv)
+        return _tol_check(xsi, eta), xsi, eta
+
+    return pic
+
+
 def _make_point_in_cell(lon2d, lat2d, y, x, spherical: bool):
     """Build a ``pic(yi, xi) -> (in_cell, xsi, eta)`` closure for fixed
     queries.
@@ -286,6 +375,7 @@ def curvilinear_search(
     spherical: bool,
     lookup: dict | None = None,
     n_walk: int = 12,
+    pic_table=None,
 ):
     """Locate particles in a 2-D curvilinear grid; fully vectorized, static shapes.
 
@@ -304,7 +394,11 @@ def curvilinear_search(
     yi = jnp.clip(yi_guess, 0, ydim - 2)
     xi = jnp.clip(xi_guess, 0, xdim - 2)
 
-    pic = _make_point_in_cell(lon2d, lat2d, y, x, spherical)
+    if pic_table is not None:
+        ncells_x = xdim - 1
+        pic = _make_point_in_cell_table(pic_table.reshape(-1, PIC_TABLE_COLS), ncells_x, y, x, spherical)
+    else:
+        pic = _make_point_in_cell(lon2d, lat2d, y, x, spherical)
     in_cell, xsi, eta = pic(yi, xi)
 
     if lookup is not None:

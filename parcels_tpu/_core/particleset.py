@@ -373,6 +373,7 @@ class ParticleSet:
 
         rk45_mode = "RK45_tol" in self.fieldset.context
         lockstep_w = self._lockstep_window(dt, rk45_mode, tuple(kernels))
+        self._set_sampler_occupancy_hint()
         pmesh = getattr(self, "_pmesh", None)
         domain = getattr(self, "_domain", None)
         windowed = self.fieldset._time_window is not None
@@ -627,6 +628,31 @@ class ParticleSet:
             result = True  # unprobeable kernel: assume the worst
         cache[kernels] = result
         return result
+
+    def _set_sampler_occupancy_hint(self):
+        """Tell the binned-sampler planner how concentrated the batch is in z.
+
+        The planner's bin-population feasibility assumes lanes uniform over
+        all z-cells (ops/binned_sample.slab_geometry); a surface-only release
+        occupies 1 of Z cells and would be misplanned into the sparse
+        fallback. Measured host-side from the live z values against the
+        deepest grid's levels — quantized, so replans/recompiles only happen
+        across order-of-magnitude occupancy shifts."""
+        from parcels_tpu.ops.binned_sample import set_z_occupancy_hint
+
+        frac = 1.0
+        try:
+            grids = self.fieldset._gridset
+            depth = max((np.asarray(g.depth) for g in grids), key=lambda d: d.size, default=None)
+            if depth is not None and depth.size > 2:
+                z = np.asarray(self._data["z"])
+                act = np.asarray(self._data.get("_active", np.ones(z.shape, bool)))
+                z = z[act] if act.any() else z
+                zi = np.clip(np.searchsorted(depth, z, side="right") - 1, 0, depth.size - 2)
+                frac = np.unique(zi).size / max(depth.size - 1, 1)
+        except Exception:  # pragma: no cover - hint is best-effort only
+            frac = 1.0
+        set_z_occupancy_hint(frac)
 
     def _lockstep_window(self, dt: float, rk45_mode: bool, kernels: tuple = ()) -> int:
         """Static time-window size W proving this run's evaluated lanes always

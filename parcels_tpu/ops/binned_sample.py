@@ -108,8 +108,33 @@ def _zwin(SZ: int) -> int:
     return min(4, SZ)
 
 
-@functools.lru_cache(maxsize=None)
+# Occupancy hint: the planner's feasibility test assumes lanes spread
+# uniformly over ALL z-cells. Real seedings concentrate (e.g. surface-only
+# releases occupy 1 of 50 z-cells), making the uniform estimate reject bins
+# that are actually full and dropping the batch into the overflow-heavy
+# sparse fallback. The ParticleSet measures the occupied z fraction at
+# execute() time and sets it here (quantized so the lru_cache/compile key
+# only changes across order-of-magnitude shifts).
+_Z_OCCUPANCY = 1.0
+_Z_OCC_LEVELS = (1.0, 0.5, 0.25, 0.1, 0.05, 0.02)
+
+
+def set_z_occupancy_hint(frac: float) -> float:
+    """Record the fraction of z-cells occupied by the current particle
+    batch; returns the quantized value the planner will use."""
+    global _Z_OCCUPANCY
+    q = min((lv for lv in _Z_OCC_LEVELS if lv >= max(float(frac), _Z_OCC_LEVELS[-1])),
+            default=1.0)
+    _Z_OCCUPANCY = q
+    return q
+
+
 def slab_geometry(shape4, n):
+    return _slab_geometry_impl(shape4, n, _Z_OCCUPANCY)
+
+
+@functools.lru_cache(maxsize=None)
+def _slab_geometry_impl(shape4, n, z_occupancy):
     """Trace-time bin/slab geometry from field shape and particle count.
 
     Bins of (bz, by, bx) cells; slab extents (WT, SZ, SY, SX) cover a bin
@@ -123,7 +148,12 @@ def slab_geometry(shape4, n):
     """
     T, Z, Yp, Xp = _padded_dims(shape4)
     WT = 1 if T == 1 else 2
-    density = n / float(max(Z * Yp * Xp, 1))
+    # Density over the cells lanes actually occupy (see
+    # set_z_occupancy_hint): concentrated seedings fill their bins far
+    # beyond the uniform estimate. O = number of occupied z-cells; a bin
+    # spanning bz z-cells intersects at most min(bz, O) of them.
+    occupied_z = max(z_occupancy * Z, 1.0)
+    density = n / float(max(occupied_z * Yp * Xp, 1))
 
     # Bin extents: a lane's slab-relative cell must stay within the slab for
     # ANY origin produced by clipping/alignment. z: bz <= SZ-1 (clipped
@@ -167,7 +197,7 @@ def slab_geometry(shape4, n):
                 mxu = 6 * max(WT * WZ * SY, 128) * SX  # per lane, bf16-split
                 dma = _FLOPS_PER_BYTE * (1.2 * WT * SZ * SY * SX * 4) / CHUNK
                 cost = mxu + dma
-                vbin = bz * by * bx
+                vbin = min(float(bz), occupied_z) * by * bx
                 # bins must hold several chunks AND each z-cell must hold
                 # more than a 128-lane sub-block, else sub-blocks span >2
                 # z-cells and their tails leak into the gather fix-up

@@ -301,6 +301,24 @@ class YBandDomain:
                             )
                         plan["geom_slabs"] = np.stack(slabs)
                     per_band["cgrid_geom"] = plan["geom_slabs"]
+                if "pic_table" in garrs:
+                    # same per-cell banding for the search-geometry table
+                    del garrs["pic_table"]
+                    if "pic_slabs" not in plan:
+                        from parcels_tpu._core.index_search import build_pic_table
+
+                        rows = plan["rows"]
+                        slabs = []
+                        for b in range(n):
+                            s = plan["row_starts"][b]
+                            lat_b = plan["lat_ext64"][s : s + rows]
+                            if plan.get("curvilinear"):
+                                lon_b = plan["lon_ext64"][s : s + rows]
+                            else:
+                                lon_b = np.asarray(grid.lon, dtype=np.float64)
+                            slabs.append(build_pic_table(lon_b, lat_b, plan["spec"].spherical))
+                        plan["pic_slabs"] = np.stack(slabs)
+                    per_band["pic_table"] = plan["pic_slabs"]
                 garrs.update(per_band)
                 for k in list(garrs):
                     if k not in per_band:

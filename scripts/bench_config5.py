@@ -137,6 +137,11 @@ def run_bench(fs, npart, steps, dt):
 
     from parcels_tpu._core.engine import build_chunk_executor
     from parcels_tpu.kernels import AdvectionRK4
+    from parcels_tpu.ops.binned_sample import set_z_occupancy_hint
+
+    # all bench lanes sit in the surface z-cell (device_pdata z=1.0)
+    zdim = fs._gridset[0].depth.size
+    set_z_occupancy_hint(1.0 / max(zdim - 1, 1))
 
     # largest divisor of npart that fits the BLOCK target (the engine maps
     # lanes in equal blocks; transient search/interp memory scales with the

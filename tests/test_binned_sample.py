@@ -321,3 +321,43 @@ def test_engine_sorted_mode_curvilinear(monkeypatch):
     x1, y1 = run()
     np.testing.assert_allclose(x1, x0, rtol=2e-5, atol=1e-2)
     np.testing.assert_allclose(y1, y0, rtol=2e-5, atol=1e-2)
+
+
+def test_z_occupancy_hint_changes_plan():
+    """Concentrated-z seeding makes sparse cases feasible (surface release
+    on a deep grid must not land in the overflow-heavy fallback plan)."""
+    import parcels_tpu.ops.binned_sample as bs
+
+    shape, n = (2, 50, 1000, 1000), 2_000_000
+    try:
+        assert bs.set_z_occupancy_hint(1.0) == 1.0
+        uniform = bs.slab_geometry(shape, n)
+        assert bs.set_z_occupancy_hint(1.0 / 49) == 0.05  # quantized upward (conservative)
+        surface = bs.slab_geometry(shape, n)
+        assert surface != uniform
+        # the surface plan concentrates: smaller z slab, feasible bins
+        assert surface[1] <= uniform[1]
+    finally:
+        bs.set_z_occupancy_hint(1.0)
+
+
+def test_occupancy_hint_set_by_particleset(monkeypatch):
+    import parcels_tpu.ops.binned_sample as bs
+    from parcels_tpu import FieldSet, ParticleSet
+    from parcels_tpu.datasets import simple_UV_dataset
+    from parcels_tpu.kernels import AdvectionEE
+
+    ds = simple_UV_dataset(dims=(2, 24, 16, 16), maxdepth=100.0, mesh="flat")
+    fs = FieldSet.from_sgrid_conventions(ds, mesh="flat")
+    seen = {}
+    orig = bs.set_z_occupancy_hint
+
+    def spy(frac):
+        seen["frac"] = frac
+        return orig(frac)
+
+    monkeypatch.setattr(bs, "set_z_occupancy_hint", spy)
+    # surface-only release on a 23-cell z axis -> 1/23 occupancy
+    pset = ParticleSet(fs, x=[1e5] * 4, y=[1e5] * 4, z=[0.5] * 4, t=[0.0] * 4)
+    pset.execute(AdvectionEE, dt=np.timedelta64(1, "h"), runtime=np.timedelta64(1, "h"))
+    assert 0 < seen["frac"] <= 1.0 / 20

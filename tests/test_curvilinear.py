@@ -282,3 +282,66 @@ def test_edge_oscillation_rescued():
     # local coords within the (tolerance-widened) cell
     assert np.all(np.asarray(xsi) > -1e-2) and np.all(np.asarray(xsi) < 1 + 1e-2)
     assert np.all(np.asarray(eta) > -1e-2) and np.all(np.asarray(eta) < 1 + 1e-2)
+
+
+def test_pic_table_matches_direct_path():
+    """The per-cell tangent-frame table (one row-gather per lane) reproduces
+    the direct XYZ-projection point-in-cell to f32 tolerance, spherical and
+    flat, including walk convergence from cold seeds."""
+    import jax.numpy as jnp
+
+    from parcels_tpu._core import index_search as isr
+    from parcels_tpu.datasets import curvilinear_rotated_dataset, moi_like_fieldset
+    from parcels_tpu import FieldSet
+
+    rng = np.random.default_rng(3)
+
+    # spherical MOi grid
+    fs = moi_like_fieldset(xdim=80, ydim=60, zdim=3, u=0.0, v=0.0)
+    g = fs._gridset[0]
+    garrs = g.device_arrays(np.float32)
+    n = 500
+    x = jnp.asarray(rng.uniform(-170, 170, n), jnp.float32)
+    y = jnp.asarray(rng.uniform(-70, 80, n), jnp.float32)
+    lk = g.lookup_meta()
+    lookup = {**lk, "yi": garrs["lookup_yi"], "xi": garrs["lookup_xi"]}
+    zero = jnp.zeros(n, jnp.int32)
+    args = (garrs["lon"], garrs["lat"], y, x, zero, zero)
+    yi_a, eta_a, xi_a, xsi_a = isr.curvilinear_search(*args, spherical=True, lookup=lookup)
+    yi_b, eta_b, xi_b, xsi_b = isr.curvilinear_search(
+        *args, spherical=True, lookup=lookup, pic_table=garrs["pic_table"]
+    )
+    np.testing.assert_array_equal(np.asarray(yi_a), np.asarray(yi_b))
+    np.testing.assert_array_equal(np.asarray(xi_a), np.asarray(xi_b))
+    ok = np.asarray(yi_a) >= 0
+    np.testing.assert_allclose(np.asarray(eta_a)[ok], np.asarray(eta_b)[ok], atol=2e-4)
+    np.testing.assert_allclose(np.asarray(xsi_a)[ok], np.asarray(xsi_b)[ok], atol=2e-4)
+
+    # flat rotated curvilinear grid
+    ds = curvilinear_rotated_dataset(xdim=50, ydim=40)
+    fs2 = FieldSet.from_sgrid_conventions(ds, mesh="flat")
+    g2 = fs2._gridset[0]
+    ga2 = g2.device_arrays(np.float32)
+    lon2, lat2 = np.asarray(g2.lon), np.asarray(g2.lat)
+    m = 400
+    ci = rng.integers(0, lon2.shape[0] - 1, m)
+    cj = rng.integers(0, lon2.shape[1] - 1, m)
+    a = rng.uniform(0.05, 0.95, m)
+    b = rng.uniform(0.05, 0.95, m)
+    x2 = jnp.asarray((1 - a) * (1 - b) * lon2[ci, cj] + a * (1 - b) * lon2[ci, cj + 1]
+                     + a * b * lon2[ci + 1, cj + 1] + (1 - a) * b * lon2[ci + 1, cj], jnp.float32)
+    y2 = jnp.asarray((1 - a) * (1 - b) * lat2[ci, cj] + a * (1 - b) * lat2[ci, cj + 1]
+                     + a * b * lat2[ci + 1, cj + 1] + (1 - a) * b * lat2[ci + 1, cj], jnp.float32)
+    lk2 = g2.lookup_meta()
+    lookup2 = {**lk2, "yi": ga2["lookup_yi"], "xi": ga2["lookup_xi"]}
+    zero2 = jnp.zeros(m, jnp.int32)
+    args2 = (ga2["lon"], ga2["lat"], y2, x2, zero2, zero2)
+    res_a = isr.curvilinear_search(*args2, spherical=False, lookup=lookup2)
+    res_b = isr.curvilinear_search(*args2, spherical=False, lookup=lookup2,
+                                   pic_table=ga2["pic_table"])
+    ok2 = np.asarray(res_a[0]) >= 0
+    assert ok2.mean() > 0.9
+    np.testing.assert_array_equal(np.asarray(res_a[0]), np.asarray(res_b[0]))
+    np.testing.assert_array_equal(np.asarray(res_a[2]), np.asarray(res_b[2]))
+    np.testing.assert_allclose(np.asarray(res_a[1])[ok2], np.asarray(res_b[1])[ok2], atol=2e-4)
+    np.testing.assert_allclose(np.asarray(res_a[3])[ok2], np.asarray(res_b[3])[ok2], atol=2e-4)
