@@ -672,17 +672,30 @@ class FieldSet:
             return tuple(np.asarray(o) for o in out)
         return np.asarray(out)
 
-    def describe(self, buf=None) -> None:
-        import sys
-
-        buf = buf or sys.stdout
+    def _describe_lines(self) -> list:
         lines = ["FieldSet:"]
         for name, f in self._fields.items():
             interp = type(f.interp_method).__name__ if f.interp_method else "-"
             lines.append(f"  {name}: {f!r} interp={interp}")
-        lines.append(f"  context: {self.context}")
-        lines.append(f"  grids: {len(self._gridset)}")
-        buf.write("\n".join(lines) + "\n")
+        if self.context:
+            lines.append(f"  context: {self.context}")
+        ti = self.time_interval
+        if ti is not None:
+            lines.append(f"  time_interval: {ti!r}")
+        for i, g in enumerate(self._gridset):
+            lines.append(f"  grid[{i}]: {g!r}")
+        if self._time_window is not None:
+            lines.append(f"  time_window: {self._time_window} levels (streaming)")
+        return lines
+
+    def describe(self, buf=None) -> None:
+        import sys
+
+        buf = buf or sys.stdout
+        buf.write("\n".join(self._describe_lines()) + "\n")
+
+    def __repr__(self) -> str:
+        return "\n".join(self._describe_lines())
 
 
 class FieldSetView:

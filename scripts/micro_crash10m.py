@@ -1,17 +1,20 @@
 """Isolate the 10M-lane TPU worker crash seen in config-5 benches.
 
-Runs suspect ops one by one at N lanes, syncing after each, so the log
-shows exactly which op kills the worker:
+All grid/field arrays are passed as ARGUMENTS (closure-captured device
+arrays bake into the HLO as literals and blow past the axon remote-compile
+HTTP body limit — that was this micro's own first bug, not the engine's).
 
-  1. sort_key_val over N int32 keys + SoA reorder via take
-  2. curvilinear_search over N lanes (pic-table and direct variants)
-  3. binned_linear_sample over N lanes against a (2,50,1000,1000) field
-  4. one full engine step (the composite)
+Steps, each synced so the log shows exactly which op dies:
+  1. sort_key_val + 14-array reorder at N
+  2. curvilinear_search (pic-table) at N, timed twice
+  3. binned_linear_sample composite at N
+  4. engine composite at N: gather+nosort, gather+sort, binned+sort
 
-Env: N (default 10_000_000).
+Env: N (default 10_000_000), SHAPE (default 2,50,1000,1000).
 """
 
 import os
+import sys
 import time
 
 import numpy as np
@@ -31,98 +34,89 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     n = int(os.environ.get("N", 10_000_000))
-    print(f"device={jax.devices()[0].platform} n={n}", flush=True)
+    shape = tuple(int(s) for s in os.environ.get("SHAPE", "2,50,1000,1000").split(","))
+    print(f"device={jax.devices()[0].platform} n={n} shape={shape}", flush=True)
     key = jax.random.PRNGKey(0)
 
-    # 1. global sort + reorder
     print("1. sort_key_val + reorder", flush=True)
     keys = jax.random.randint(key, (n,), 0, 2**26, jnp.int32)
-    iota = jnp.arange(n, dtype=jnp.int32)
 
     @jax.jit
-    def sort_and_take(keys, iota):
+    def sort_and_take(keys):
+        iota = jnp.arange(n, dtype=jnp.int32)
         _, order = jax.lax.sort_key_val(keys, iota)
-        outs = []
+        out = None
         for i in range(14):
             arr = (iota + i).astype(jnp.float32)
-            outs.append(jnp.take(arr, order))
-        return outs[0]
+            out = jnp.take(arr, order)
+        return out
 
     t0 = time.perf_counter()
-    sync(sort_and_take(keys, iota), f"sort in {time.perf_counter()-t0:.1f}s")
+    sync(sort_and_take(keys), f"sort in {time.perf_counter()-t0:.1f}s")
 
-    # 2. curvilinear search
-    print("2. curvilinear_search", flush=True)
-    import sys
-
+    print("2. curvilinear_search (pic table), grid as args", flush=True)
     sys.path.insert(0, os.path.dirname(__file__))
-    from bench_config5 import build_fieldset
+    from bench_config5 import build_fieldset, device_farrays, device_pdata
 
     from parcels_tpu._core import index_search as isr
 
-    fs = build_fieldset((2, 50, 1000, 1000))
+    fs = build_fieldset(shape)
     g = fs._gridset[0]
-    garrs = g.device_arrays(np.float32)
+    farrays = device_farrays(fs)
+    garrs = farrays["grids"][0]
+    lkm = g.lookup_meta()
     kx, ky = jax.random.split(key)
     x = jax.random.uniform(kx, (n,), jnp.float32, -170.0, 170.0)
     y = jax.random.uniform(ky, (n,), jnp.float32, -60.0, 70.0)
-    lk = g.lookup_meta()
-    lookup = {**lk, "yi": garrs["lookup_yi"], "xi": garrs["lookup_xi"]}
-    zero = jnp.zeros(n, jnp.int32)
 
     @jax.jit
-    def search_table(y, x, zero):
+    def search_table(garrs, y, x):
+        zero = jnp.zeros(y.shape, jnp.int32)
+        lookup = {**lkm, "yi": garrs["lookup_yi"], "xi": garrs["lookup_xi"]}
         return isr.curvilinear_search(
             garrs["lon"], garrs["lat"], y, x, zero, zero, spherical=True,
             lookup=lookup, pic_table=garrs["pic_table"]
         )[0]
 
     t0 = time.perf_counter()
-    sync(search_table(y, x, zero), f"search(table) in {time.perf_counter()-t0:.1f}s")
-
-    @jax.jit
-    def search_direct(y, x, zero):
-        return isr.curvilinear_search(
-            garrs["lon"], garrs["lat"], y, x, zero, zero, spherical=True, lookup=lookup
-        )[0]
-
+    sync(search_table(garrs, y, x), f"search compile+run in {time.perf_counter()-t0:.1f}s")
     t0 = time.perf_counter()
-    sync(search_direct(y, x, zero), f"search(direct) in {time.perf_counter()-t0:.1f}s")
+    sync(search_table(garrs, y, x), f"search warm in {time.perf_counter()-t0:.2f}s")
 
-    # 3. binned sample at n lanes
-    print("3. binned_linear_sample", flush=True)
-    os.environ["PARCELS_TPU_BINNED"] = "force"
-    os.environ["PARCELS_TPU_SORT_MODE"] = "force"
-    from parcels_tpu.ops.binned_sample import binned_linear_sample, sort_key_for
+    print("3. engine composite bisect", flush=True)
+    import jax.numpy as jnp
 
-    data = jax.random.uniform(key, (2, 50, 1000, 1000), jnp.float32)
-    yi, eta, xi, xsi = (jnp.zeros(n, jnp.int32),) * 2 + (jnp.zeros(n, jnp.float32),) * 2
+    from parcels_tpu._core.engine import build_chunk_executor
+    from parcels_tpu.kernels import AdvectionRK4
+    from parcels_tpu.ops.binned_sample import set_z_occupancy_hint
 
-    @jax.jit
-    def sample(y, x, zero):
-        yi, eta, xi, xsi = isr.curvilinear_search(
-            garrs["lon"], garrs["lat"], y, x, zero, zero, spherical=True,
-            lookup=lookup, pic_table=garrs["pic_table"]
-        )
-        gpos = {
-            "T": {"index": jnp.zeros(n, jnp.int32), "bcoord": jnp.zeros(n, jnp.float32)},
-            "Z": {"index": jnp.zeros(n, jnp.int32), "bcoord": jnp.zeros(n, jnp.float32)},
-            "Y": {"index": jnp.clip(yi, 0, 998), "bcoord": jnp.clip(eta, 0, 1)},
-            "X": {"index": jnp.clip(xi, 0, 998), "bcoord": jnp.clip(xsi, 0, 1)},
-            "_sorted": True,
-        }
-        key_s = sort_key_for(fs._gridset[0].spec, gpos, (2, 50, 1000, 1000), n)
-        _, order = jax.lax.sort_key_val(key_s, jnp.arange(n, dtype=jnp.int32))
-        gpos2 = {
-            ax: {k: jnp.take(v, order) for k, v in d.items()}
-            for ax, d in gpos.items() if isinstance(d, dict)
-        }
-        gpos2["_sorted"] = True
-        return binned_linear_sample(data, gpos2)
+    set_z_occupancy_hint(1.0 / max(shape[1] - 1, 1))
 
-    t0 = time.perf_counter()
-    sync(sample(y, x, zero), f"binned sample in {time.perf_counter()-t0:.1f}s")
-    print("ALL OK", flush=True)
+    for label, mode in (("gather+nosort", "off"), ("binned+sort", "force")):
+        os.environ["PARCELS_TPU_SORT_MODE"] = mode
+        os.environ["PARCELS_TPU_BINNED"] = mode
+        fs2 = build_fieldset(shape)
+        fa2 = device_farrays(fs2)
+        try:
+            ex = build_chunk_executor(
+                (AdvectionRK4,), fs2, sign_dt=1, rk45_mode=False, donate=False,
+                block_size=n if n <= 2_500_000 else 2_500_000 if n % 2_500_000 == 0 else n,
+            )
+            pd = device_pdata(n, dt=600.0)
+            t0 = time.perf_counter()
+            out = ex(fa2, pd, jnp.float32(600.0), jnp.float32(600.0))
+            np.asarray(out["t"][:1])
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out = ex(fa2, out, jnp.float32(600.0 * 4), jnp.float32(600.0))
+            np.asarray(out["t"][:1])
+            t2 = time.perf_counter() - t0
+            rate = 3 * n / max(t2, 1e-9)
+            print(f"  ok: engine {label}: compile+1step {t1:.1f}s, 3 steps {t2:.1f}s "
+                  f"({rate/1e6:.2f} M steps/s)", flush=True)
+        except Exception as e:
+            print(f"  FAIL engine {label}: {type(e).__name__}: {str(e)[:160]}", flush=True)
+    print("ALL DONE", flush=True)
 
 
 if __name__ == "__main__":
