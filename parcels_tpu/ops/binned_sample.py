@@ -207,7 +207,22 @@ def _slab_geometry_impl(shape4, n, z_occupancy):
                 rank = (feasible, -cost if feasible else vbin)
                 if best is None or rank > best[0]:
                     best = (rank, (WT, SZ, min(SY, Yp), min(SX, Xp), bz, by, bx))
+    # record whether ANY candidate met the bin-population bar — auto mode
+    # uses it to skip the binned path in the sparse regime, where overflow
+    # leakage makes plain gather faster (measured at config-5 scale)
+    _FEASIBLE_CACHE[(shape4, n, z_occupancy)] = bool(best[0][0])
     return best[1]
+
+
+_FEASIBLE_CACHE: dict = {}
+
+
+def plan_feasible(shape4, n) -> bool:
+    """Did the current plan for (shape4, n) meet the bin-population bar?"""
+    key = (tuple(shape4), n, _Z_OCCUPANCY)
+    if key not in _FEASIBLE_CACHE:
+        slab_geometry(tuple(shape4), n)
+    return _FEASIBLE_CACHE[key]
 
 
 def _mode() -> str:
@@ -231,7 +246,12 @@ def binned_enabled(shape4, gpos) -> bool:
         return False
     if mode == "force":
         return True
-    return jax.default_backend() not in ("cpu",)
+    if jax.default_backend() in ("cpu",):
+        return False
+    # auto: only when the bin plan is feasible for this density — in the
+    # sparse regime the overflow fix-up dominates and gather wins
+    n = gpos["X"]["index"].shape[0]
+    return plan_feasible(shape4, n)
 
 
 # ---------------------------------------------------------------------------
