@@ -222,7 +222,8 @@ def plan_feasible(shape4, n) -> bool:
     key = (tuple(shape4), n, _Z_OCCUPANCY)
     if key not in _FEASIBLE_CACHE:
         slab_geometry(tuple(shape4), n)
-    return _FEASIBLE_CACHE[key]
+    # PARCELS_TPU_BINNED_GEOM-forced plans bypass scoring: treat as feasible
+    return _FEASIBLE_CACHE.get(key, True)
 
 
 def _mode() -> str:
