@@ -501,11 +501,14 @@ class ParticleSet:
             # per-run observability (SURVEY.md §5 tracing/profiling parity)
             wall = _time.perf_counter() - wall0
             nsteps = abs(time - start_time) / abs(dt) if dt else 0.0
+            from parcels_tpu.ops import binned_sample as _bs
+
             self.last_run_stats = {
                 "wall_s": round(wall, 4),
                 "chunks": nchunks,
                 "particles": len(self),
                 "particle_steps_per_s": round(len(self) * nsteps / wall, 1) if wall > 0 else 0.0,
+                "z_occupancy_hint": _bs._Z_OCCUPANCY,
             }
             if output_file is not None:
                 output_file.flush()
