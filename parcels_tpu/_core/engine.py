@@ -124,7 +124,7 @@ def _permute_soa(pdata, order):
     return out
 
 
-def _sort_soa(fsview, sort_field_name, pdata):
+def _sort_soa(fsview, sort_field_name, pdata, z_occ=None):
     """Sort the SoA by the spatial bin of the cached cell index; returns (pdata, order).
 
     The bin comes from the SoA's ``ei`` cache (updated at every field sample,
@@ -147,7 +147,7 @@ def _sort_soa(fsview, sort_field_name, pdata):
     yi = (ei // xdim) % ydim
     zi = ei // (xdim * ydim)
     gpos = {"Z": {"index": zi}, "Y": {"index": yi}, "X": {"index": xi}}
-    key = sort_key_for(spec, gpos, tuple(fv.data.shape), pdata["state"].shape[0])
+    key = sort_key_for(spec, gpos, tuple(fv.data.shape), pdata["state"].shape[0], z_occ)
     n = key.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
     # inactive lanes sort to the end (their positions may be stale)
@@ -171,12 +171,15 @@ def build_chunk_executor(
     donate: bool = True,
     block_size: int | None = None,
     lockstep_w: int = 0,
+    z_occ: float | None = None,
 ):
     """Compile a chunk executor: (farrays, pdata, endtime, dt0) -> pdata.
 
     ``sign_dt`` and ``rk45_mode`` are static (baked into the trace);
     ``endtime``/``dt0`` are traced scalars so consecutive output chunks reuse
-    the same executable.
+    the same executable. ``z_occ`` is the quantized occupied-z fraction of
+    the batch, captured at build time and baked into the trace (the caller
+    must key its executor cache on it).
 
     Particle counts above ``block_size`` are processed as a sequential
     ``lax.map`` over equal blocks (the count must be a multiple of the block
@@ -203,9 +206,9 @@ def build_chunk_executor(
             # final unsort works whatever permutation the inner loop applied
             pdata = dict(pdata)
             pdata["_ord"] = jnp.arange(pdata["state"].shape[0], dtype=jnp.int32)
-            pdata, _ = _sort_soa(fsview, sort_field_name, pdata)
+            pdata, _ = _sort_soa(fsview, sort_field_name, pdata, z_occ)
             if RESORT_EVERY > 0:
-                resort = lambda pd: _sort_soa(fsview, sort_field_name, pd)[0]
+                resort = lambda pd: _sort_soa(fsview, sort_field_name, pd, z_occ)[0]
 
         def finish(out):
             if not sorting:
@@ -216,7 +219,7 @@ def build_chunk_executor(
         if n <= block_size:
             out = _run_block(
                 fsview, dict(pdata), endtime, dt0, kernel_fns, sign_dt, rk45_mode,
-                sorting, resort, lockstep_w,
+                sorting, resort, lockstep_w, z_occ,
             )
             return finish(out)
 
@@ -237,7 +240,7 @@ def build_chunk_executor(
         out = jax.lax.map(
             lambda pd: _run_block(
                 fsview, dict(pd), endtime, dt0, kernel_fns, sign_dt, rk45_mode,
-                sorting, resort, lockstep_w,
+                sorting, resort, lockstep_w, z_occ,
             ),
             blocked,
         )
@@ -262,7 +265,7 @@ def compute_loop_masks(pd, endtime, sign_dt):
 
 def _run_block(
     fsview, pdata, endtime, dt0, kernel_fns, sign_dt, rk45_mode,
-    sorted_hint=False, resort=None, lockstep_w=0,
+    sorted_hint=False, resort=None, lockstep_w=0, z_occ=None,
 ):
     """The full inner time loop for one particle block (traced)."""
     # Chunk start: active particles are (re)queued for evaluation
@@ -279,7 +282,8 @@ def _run_block(
 
     def body(pd):
         pd = engine_step(
-            fsview, pd, endtime, dt0, kernel_fns, sign_dt, rk45_mode, sorted_hint, lockstep_w
+            fsview, pd, endtime, dt0, kernel_fns, sign_dt, rk45_mode, sorted_hint,
+            lockstep_w, z_occ,
         )
         if resort is not None:
             pd = dict(pd)
@@ -297,7 +301,7 @@ def _run_block(
 
 def engine_step(
     fsview, pd, endtime, dt0, kernel_fns, sign_dt, rk45_mode,
-    sorted_hint=False, lockstep_w=0,
+    sorted_hint=False, lockstep_w=0, z_occ=None,
 ):
     """One iteration of the inner loop: kernel chain + state machine update."""
     pd = dict(pd)
@@ -316,7 +320,7 @@ def engine_step(
     # Kernel chain; each kernel is followed by masked Repeat
     # resubmission (RK45 adaptive dt, reference kernel.py:208-218).
     for f in kernel_fns:
-        view = Particles(pd, eval_mask, sorted_hint, lockstep_w)
+        view = Particles(pd, eval_mask, sorted_hint, lockstep_w, z_occ)
         f(view, fsview)
 
         def rcond(pdd):
@@ -325,7 +329,8 @@ def engine_step(
         def rbody(pdd, f=f):
             pdd = dict(pdd)
             rview = Particles(
-                pdd, pdd["_active"] & (pdd["state"] == StatusCode.Repeat), sorted_hint
+                pdd, pdd["_active"] & (pdd["state"] == StatusCode.Repeat), sorted_hint,
+                z_occ_hint=z_occ,
             )
             f(rview, fsview)
             return pdd

@@ -72,6 +72,25 @@ class Field:
     def __repr__(self):
         return f"Field(name={self.name!r}, shape={self.data.shape})"
 
+    def _repr_sections(self):
+        interp = type(self.interp_method).__name__ if self.interp_method else "-"
+        return [
+            (
+                "attributes",
+                [
+                    f"name: {self.name!r}",
+                    f"shape: {tuple(self.data.shape)}  dtype: {self.data.dtype}",
+                    f"interp_method: {interp}",
+                    f"grid: {self.grid!r}",
+                ],
+            )
+        ]
+
+    def _repr_html_(self):
+        from parcels_tpu._repr import html_sections
+
+        return html_sections(f"Field {self.name!r}", self._repr_sections())
+
 
 class VectorField:
     """Host-side vector field referencing 2-3 component Fields."""
@@ -112,6 +131,20 @@ class VectorField:
     def __repr__(self):
         return f"VectorField(name={self.name!r}, {self.vector_type})"
 
+    def _repr_sections(self):
+        comps = [repr(c) for c in (self.U, self.V, self.W) if c is not None]
+        interp = type(self.interp_method).__name__ if self.interp_method else "-"
+        return [
+            ("attributes", [f"name: {self.name!r}", f"vector_type: {self.vector_type}",
+                            f"interp_method: {interp}"]),
+            ("components", comps),
+        ]
+
+    def _repr_html_(self):
+        from parcels_tpu._repr import html_sections
+
+        return html_sections(f"VectorField {self.name!r}", self._repr_sections())
+
 
 # ---------------------------------------------------------------------------
 # Traced views (exist only inside the jitted step)
@@ -131,7 +164,7 @@ class GridView:
 
 
 class FieldView:
-    __slots__ = ("name", "data", "grid", "igrid", "interp_method", "has_time")
+    __slots__ = ("name", "data", "grid", "igrid", "interp_method", "has_time", "_col_table")
 
     def __init__(self, name, data, grid: GridView, igrid, interp_method, has_time):
         self.name = name
@@ -140,6 +173,16 @@ class FieldView:
         self.igrid = igrid
         self.interp_method = interp_method
         self.has_time = has_time
+        self._col_table = None
+
+    def col_table(self):
+        """Cached (Y*X, T*Z) corner-column table (ops/colgather.py): one
+        transpose per chunk trace, shared by every RK stage and kernel."""
+        if self._col_table is None:
+            from parcels_tpu.ops.colgather import colgather_table
+
+            self._col_table = colgather_table(self.data)
+        return self._col_table
 
     def eval(self, t, z, y, x, particles: Particles | None = None):
         ppos, gpos = _get_positions(self, t, z, y, x, particles)
@@ -214,6 +257,8 @@ def _get_positions(field: FieldView, t, z, y, x, particles: Particles | None):
     gpos["T"] = {"index": ti, "bcoord": tau}
     # static hint: SoA is engine-sorted -> binned slab sampler applies
     gpos["_sorted"] = bool(particles is not None and getattr(particles, "_sorted_hint", False))
+    # static hint: quantized occupied-z fraction (binned-sampler planning)
+    gpos["_z_occ"] = getattr(particles, "_z_occ_hint", None)
     # static hint: evaluated lanes bracket within this many time levels ->
     # cond-free windowed sampling (interp_kernels.linear_sample_windowed)
     gpos["_lockstep"] = int(getattr(particles, "_lockstep_hint", 0) or 0)

@@ -672,30 +672,137 @@ class FieldSet:
             return tuple(np.asarray(o) for o in out)
         return np.asarray(out)
 
-    def _describe_lines(self) -> list:
-        lines = ["FieldSet:"]
+    def memory_report(
+        self,
+        particles: int = 0,
+        device_bytes: int | None = None,
+        bands: int = 1,
+    ) -> dict:
+        """Analytic HBM budget for this fieldset on one chip (no allocation).
+
+        Accounts for everything the executor ships to the device: field
+        windows (``time_window`` levels when streaming, else the full time
+        axis), grid coordinate arrays, the curvilinear search tables
+        (pic_table 16 f32/cell, index_search.py:256; cgrid_geom 9 f32/cell,
+        grid.py cgrid_geometry), the lookup raster, the corner-column
+        sampler's transposed field copies (ops/colgather.py — active for
+        HBM-scale fields), and the particle SoA. ``bands`` divides the
+        Y-extent (YBandDomain decomposition across chips). At the true MOi
+        1/12-degree resolution (4322 x 3059) the tables alone are ~1.3 GB
+        and a 2-level U/V window ~10.6 GB — this report is how a user (and
+        ``describe``) sees that BEFORE an opaque device OOM.
+        """
+        from parcels_tpu._core.field import Field
+        from parcels_tpu.ops.colgather import colgather_usable
+        from parcels_tpu.ops.interp_kernels import fits_fast_path
+
+        W = self._time_window
+        fields = {}
+        col_tables = 0
         for name, f in self._fields.items():
-            interp = type(f.interp_method).__name__ if f.interp_method else "-"
-            lines.append(f"  {name}: {f!r} interp={interp}")
+            if not isinstance(f, Field) or getattr(f.data, "ndim", 0) != 4:
+                continue
+            T, Z, Y, X = f.data.shape
+            levels = min(W, T) if W else T
+            b = levels * Z * -(-Y // bands) * X * 4
+            fields[name] = b
+            if colgather_usable((levels, Z, -(-Y // bands), X)) and not fits_fast_path(
+                f.data.shape
+            ):
+                col_tables += b
+        grids = []
+        for g in self._gridset:
+            spec = getattr(g, "spec", None)
+            entry = {"coords": 0, "pic_table": 0, "cgrid_geom": 0, "lookup": 0}
+            for attr in ("lon", "lat", "depth", "time"):
+                a = getattr(g, attr, None)
+                if a is not None:
+                    entry["coords"] += int(np.asarray(a).size) * 4
+            if spec is not None and spec.curvilinear:
+                cells = max(spec.ydim, 1) * max(spec.xdim, 1) // max(bands, 1)
+                entry["pic_table"] = cells * 16 * 4
+                if getattr(g, "_needs_cgrid_geom", False):
+                    entry["cgrid_geom"] = cells * 9 * 4
+            lk = getattr(g, "_lookup", None)
+            if lk is not None:
+                entry["lookup"] = int(lk["yi"].size + lk["xi"].size) * 4
+            grids.append(entry)
+        soa = particles * 4 * (13 + len(self._gridset))
+        total = sum(fields.values()) + col_tables + soa
+        total += sum(sum(e.values()) for e in grids)
+        if device_bytes is None:
+            device_bytes = 16 * 2**30  # v5e HBM
+            try:
+                stats = jax.devices()[0].memory_stats()
+                if stats and "bytes_limit" in stats:
+                    device_bytes = int(stats["bytes_limit"])
+            except Exception:
+                pass
+        return {
+            "fields": fields,
+            "col_tables": col_tables,
+            "grids": grids,
+            "soa": soa,
+            "total": total,
+            "device_bytes": device_bytes,
+            "fits": total <= device_bytes,
+        }
+
+    def _repr_sections(self) -> list:
+        """Sectioned repr (reference fieldset_repr, _repr_utils.py:25-44)."""
+        from parcels_tpu._core.field import VectorField
+
+        fields = [
+            f"{name}: {f!r} interp={type(f.interp_method).__name__ if f.interp_method else '-'}"
+            for name, f in self._fields.items()
+            if not isinstance(f, VectorField)
+        ]
+        vfields = [
+            f"{name}: {f!r} interp={type(f.interp_method).__name__ if f.interp_method else '-'}"
+            for name, f in self._fields.items()
+            if isinstance(f, VectorField)
+        ]
+        misc = []
         if self.context:
-            lines.append(f"  context: {self.context}")
-        ti = self.time_interval
-        if ti is not None:
-            lines.append(f"  time_interval: {ti!r}")
-        for i, g in enumerate(self._gridset):
-            lines.append(f"  grid[{i}]: {g!r}")
+            misc.append(f"context: {self.context}")
+        if self.time_interval is not None:
+            misc.append(f"time_interval: {self.time_interval!r}")
         if self._time_window is not None:
-            lines.append(f"  time_window: {self._time_window} levels (streaming)")
-        return lines
+            misc.append(f"time_window: {self._time_window} levels (streaming)")
+        try:
+            mem = self.memory_report()
+            line = (
+                f"device memory: {mem['total'] / 2**30:.2f} GiB of "
+                f"{mem['device_bytes'] / 2**30:.0f} GiB (fields + search tables)"
+            )
+            if not mem["fits"]:
+                line += "  ** OVER BUDGET: use set_time_window / YBandDomain **"
+            misc.append(line)
+        except Exception:
+            pass
+        grids = [f"grid[{i}]: {g!r}" for i, g in enumerate(self._gridset)]
+        return [
+            ("fields", fields),
+            ("vectorfields", vfields),
+            ("grids", grids),
+            ("simulation", misc),
+        ]
 
     def describe(self, buf=None) -> None:
         import sys
 
         buf = buf or sys.stdout
-        buf.write("\n".join(self._describe_lines()) + "\n")
+        buf.write(repr(self) + "\n")
 
     def __repr__(self) -> str:
-        return "\n".join(self._describe_lines())
+        from parcels_tpu._repr import format_sections
+
+        return format_sections(type(self).__name__, self._repr_sections())
+
+    def _repr_html_(self) -> str:
+        from parcels_tpu._repr import html_sections
+
+        return html_sections(type(self).__name__, self._repr_sections())
 
 
 class FieldSetView:

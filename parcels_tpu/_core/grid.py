@@ -315,6 +315,21 @@ class XGrid(BaseGrid):
             f"x={self.spec.xdim}, tdim={self.time.shape[0]})"
         )
 
+    def _repr_html_(self):
+        from parcels_tpu._repr import html_sections
+
+        s = self.spec
+        return html_sections(
+            type(self).__name__,
+            [
+                ("geometry", [repr(self)]),
+                (
+                    "staggering",
+                    [f"offset_x={s.offset_x} offset_y={s.offset_y} offset_z={s.offset_z}"],
+                ),
+            ],
+        )
+
 
 def cgrid_geometry_from_coords(lon, lat, spherical: bool) -> np.ndarray:
     """Per-cell C-grid geometry table from node coordinates (see

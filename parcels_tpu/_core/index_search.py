@@ -459,12 +459,19 @@ def curvilinear_search(
 
     # Found lanes keep their converged (yi, xi) because move=0 for them after
     # the first re-check; to avoid drift, freeze found lanes explicitly.
+    # Hopeless lanes (outside the raster, non-finite positions, or stalled
+    # against a clamped grid edge) are excluded from the loop condition:
+    # one permanently-unfindable lane must not drag the whole batch through
+    # all n_walk iterations (the early exit IS the optimization).
     def walk_body_frozen(i, carry):
-        yi, xi, found, xsi, eta, best = carry
+        yi, xi, found, xsi, eta, best, hopeless = carry
         yi2, xi2, found2, xsi2, eta2, best2 = walk_body(i, (yi, xi, found, xsi, eta, best))
+        # a not-found lane whose attempted move was fully clamped can never
+        # make progress (its target cell is beyond the grid edge)
+        stalled = ~found2 & ~found & (yi2 == yi) & (xi2 == xi)
         yi = jnp.where(found, yi, yi2)
         xi = jnp.where(found, xi, xi2)
-        return yi, xi, found2, xsi2, eta2, best2
+        return yi, xi, found2, xsi2, eta2, best2, hopeless | stalled
 
     # derive the carry from varying inputs (full_like/zeros_like) so the
     # loop carry has consistent varying-manual-axes under shard_map
@@ -475,6 +482,7 @@ def curvilinear_search(
         jnp.zeros_like(jnp.asarray(y, jnp.float32)),
         jnp.zeros_like(jnp.asarray(y, jnp.float32)),
     )
+    hopeless0 = outside | ~(jnp.isfinite(jnp.asarray(y)) & jnp.isfinite(jnp.asarray(x)))
 
     # Early-exit while_loop: with the engine's per-stage ei warm start the
     # overwhelmingly common case is "every lane already in its cell", making
@@ -483,20 +491,22 @@ def curvilinear_search(
     # dominated curvilinear step time at config-5 scale.
     def walk_cond(carry):
         i, state = carry
-        found = state[2]
-        return (i < n_walk) & jnp.any(~found)
+        found, hopeless = state[2], state[6]
+        return (i < n_walk) & jnp.any(~found & ~hopeless)
 
     def walk_step(carry):
         i, state = carry
         return i + 1, walk_body_frozen(i, state)
 
-    _, (yi, xi, found, xsi, eta, best) = jax.lax.while_loop(
-        walk_cond, walk_step, (jnp.int32(0), (yi, xi, in_cell, xsi, eta, best0))
+    _, (yi, xi, found, xsi, eta, best, _) = jax.lax.while_loop(
+        walk_cond, walk_step, (jnp.int32(0), (yi, xi, in_cell, xsi, eta, best0, hopeless0))
     )
 
     # Rescue oscillating edge lanes: accept the nearest candidate when it is
     # within 1% of a cell of the boundary (true misses are >> 1 cell away).
-    rescue = ~found & (best[0] < 0.01)
+    # Raster-outside lanes are NOT rescue-eligible: they must surface as
+    # out-of-bounds, not as a near-boundary interpolation.
+    rescue = ~outside & ~found & (best[0] < 0.01)
     yi = jnp.where(rescue, best[1], yi)
     xi = jnp.where(rescue, best[2], xi)
     xsi = jnp.where(rescue, best[3], xsi)

@@ -190,6 +190,14 @@ class ParticleFile:
     def __repr__(self):
         return f"ParticleFile(path={self._path!r}, outputdt={self._outputdt})"
 
+    def _repr_html_(self):
+        from parcels_tpu._repr import html_sections
+
+        return html_sections(
+            type(self).__name__,
+            [("attributes", [f"path: {self._path!r}", f"outputdt: {self._outputdt}"])],
+        )
+
 
 def _to_write_particles(data: dict, t: float) -> np.ndarray:
     """Particles with |t_p - t| <= |dt|/2, valid and active (reference :198-221)."""

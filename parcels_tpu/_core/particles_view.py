@@ -19,9 +19,16 @@ __all__ = ["Particles"]
 class Particles:
     """Masked write-through view over the particle SoA used inside kernels."""
 
-    __slots__ = ("_data", "_mask", "_sorted_hint", "_lockstep_hint")
+    __slots__ = ("_data", "_mask", "_sorted_hint", "_lockstep_hint", "_z_occ_hint")
 
-    def __init__(self, data: dict, mask, sorted_hint: bool = False, lockstep_hint: int = 0):
+    def __init__(
+        self,
+        data: dict,
+        mask,
+        sorted_hint: bool = False,
+        lockstep_hint: int = 0,
+        z_occ_hint: float | None = None,
+    ):
         object.__setattr__(self, "_data", data)
         object.__setattr__(self, "_mask", mask)
         # static trace-time hint: the engine keeps the SoA spatially sorted,
@@ -31,6 +38,9 @@ class Particles:
         # time levels, enabling the cond-free windowed sample
         # (ops/interp_kernels.py linear_sample_windowed)
         object.__setattr__(self, "_lockstep_hint", lockstep_hint)
+        # static trace-time hint: quantized occupied-z fraction of the batch,
+        # captured at executor-build time (binned-sampler bin planning)
+        object.__setattr__(self, "_z_occ_hint", z_occ_hint)
 
     def __getattr__(self, name):
         try:

@@ -116,19 +116,39 @@ class ParticleSet:
             f"states={ {int(k): int(v) for k, v in uniq.items()} })"
         )
 
-    def describe(self, buf=None) -> None:
-        import sys
-
-        buf = buf or sys.stdout
-        lines = [repr(self)]
+    def _repr_sections(self):
+        """Sectioned repr (reference particleset_repr, _repr_utils.py:91-105)."""
+        bounds = []
         for k in ("x", "y", "z", "t"):
             v = self.__getattr__(k)
             if v.size:
-                lines.append(f"  {k}: min={v.min():.6g} max={v.max():.6g}")
+                bounds.append(f"{k}: min={v.min():.6g} max={v.max():.6g}")
+        n = len(self)
+        sample = [repr(p) for _, p in zip(range(7), iter(self))]
+        if n > len(sample):
+            sample.append(f"... ({n - len(sample)} more)")
+        sections = [
+            ("summary", [repr(self)]),
+            ("bounds", bounds),
+            ("particles", sample),
+        ]
         stats = getattr(self, "last_run_stats", None)
         if stats:
-            lines.append(f"  last run: {stats}")
-        buf.write("\n".join(lines) + "\n")
+            sections.append(("last run", [f"{k}: {v}" for k, v in stats.items()]))
+        return sections
+
+    def describe(self, buf=None) -> None:
+        import sys
+
+        from parcels_tpu._repr import format_sections
+
+        buf = buf or sys.stdout
+        buf.write(format_sections(type(self).__name__, self._repr_sections()) + "\n")
+
+    def _repr_html_(self):
+        from parcels_tpu._repr import html_sections
+
+        return html_sections(type(self).__name__, self._repr_sections())
 
     def __len__(self):
         return int(self._data["_active"].sum())
@@ -373,7 +393,7 @@ class ParticleSet:
 
         rk45_mode = "RK45_tol" in self.fieldset.context
         lockstep_w = self._lockstep_window(dt, rk45_mode, tuple(kernels))
-        self._set_sampler_occupancy_hint()
+        z_occ = self._set_sampler_occupancy_hint()
         pmesh = getattr(self, "_pmesh", None)
         domain = getattr(self, "_domain", None)
         windowed = self.fieldset._time_window is not None
@@ -392,13 +412,15 @@ class ParticleSet:
             dev = domain.shard_soa(self._data)
         elif pmesh is not None:
             executor = self._get_executor(
-                tuple(kernels), sign_dt, rk45_mode, blocked=False, lockstep_w=lockstep_w
+                tuple(kernels), sign_dt, rk45_mode, blocked=False, lockstep_w=lockstep_w,
+                z_occ=z_occ,
             )
             farrays = None if windowed else pmesh.shard_fields(self.fieldset.device_arrays())
             dev = pmesh.shard_soa(self._data)
         else:
             executor = self._get_executor(
-                tuple(kernels), sign_dt, rk45_mode, blocked=True, lockstep_w=lockstep_w
+                tuple(kernels), sign_dt, rk45_mode, blocked=True, lockstep_w=lockstep_w,
+                z_occ=z_occ,
             )
             from parcels_tpu._core.engine import DEFAULT_BLOCK_SIZE, _sort_mode_enabled
 
@@ -466,13 +488,27 @@ class ParticleSet:
                         "YBandDomain(headroom=..., migration_capacity=...) or halo."
                     )
                 if "_haloof" in dev and int(np.asarray(dev["_haloof"]).sum()) > 0:
-                    raise RuntimeError(
-                        "Halo violation: a particle moved beyond its band's "
-                        "halo-extended slab in a single step, so its field "
-                        "samples were clamped at the slab edge. Increase "
-                        "YBandDomain(halo=...) or reduce dt (halo must cover "
-                        "the max per-step displacement in cells)."
-                    )
+                    # curvilinear bands surface halo breaches as failed cell
+                    # walks; only raise the halo diagnostic when the failing
+                    # lanes ARE findable on the global grid (otherwise they
+                    # are genuinely off-grid: typed error below)
+                    if (
+                        domain is None
+                        or not domain.curvilinear
+                        or self._curvilinear_halo_breach(
+                            dev, tuple(kernels), time, next_time, dt,
+                            sign_dt, rk45_mode, windowed,
+                        )
+                    ):
+                        raise RuntimeError(
+                            "Halo violation: a particle moved beyond its "
+                            "band's halo-extended slab in a single step, so "
+                            "its field samples were clamped at the slab edge "
+                            "(rectilinear bands) or its point-in-cell walk "
+                            "failed (curvilinear bands). Increase "
+                            "YBandDomain(halo=...) or reduce dt (halo must "
+                            "cover the max per-step displacement in cells)."
+                        )
                 self._raise_errors(dev, states, active)
 
                 if next_output is not None and abs(next_time - next_output) < 1e-3:
@@ -501,17 +537,66 @@ class ParticleSet:
             # per-run observability (SURVEY.md §5 tracing/profiling parity)
             wall = _time.perf_counter() - wall0
             nsteps = abs(time - start_time) / abs(dt) if dt else 0.0
-            from parcels_tpu.ops import binned_sample as _bs
-
             self.last_run_stats = {
                 "wall_s": round(wall, 4),
                 "chunks": nchunks,
                 "particles": len(self),
                 "particle_steps_per_s": round(len(self) * nsteps / wall, 1) if wall > 0 else 0.0,
-                "z_occupancy_hint": _bs._Z_OCCUPANCY,
+                "z_occupancy_hint": z_occ,
             }
             if output_file is not None:
                 output_file.flush()
+
+    def _curvilinear_halo_breach(
+        self, dev, kernels, time, next_time, dt, sign_dt, rk45_mode, windowed
+    ) -> bool:
+        """Disambiguate a curvilinear banded GridSearchingError.
+
+        A lane that out-ran its band's halo-extended slab fails the local
+        point-in-cell walk even though its step is perfectly valid on the
+        GLOBAL grid — that is a halo breach (raise the increase-halo
+        message). A lane that genuinely left the grid fails on the global
+        grid too (typed error instead, matching single-device semantics).
+        The check replays ONE engine step for just the failing lanes
+        against the un-banded global field arrays (stage samples included,
+        so off-grid-at-an-RK-stage cases are judged correctly). Error-path
+        only; cost is one small eager step.
+        """
+        from parcels_tpu._core.engine import engine_step
+
+        try:
+            states = np.asarray(dev["state"])
+            act = np.asarray(dev["_active"])
+            err = act & (states == StatusCode.ErrorGridSearching)
+            if not err.any():
+                return True
+            farrays = (
+                self.fieldset.windowed_arrays(time, next_time)
+                if windowed
+                else self.fieldset.device_arrays()
+            )
+            fsview = self.fieldset.build_views(farrays)
+            sub = {}
+            for k, v in dev.items():
+                arr = np.asarray(v)
+                if k == "_rng":
+                    sub[k] = jnp.asarray(arr[0] if arr.ndim == 2 else arr)
+                elif arr.ndim >= 1 and arr.shape[0] == err.shape[0]:
+                    sub[k] = jnp.asarray(arr[err])
+                else:
+                    sub[k] = jnp.asarray(arr)
+            n_err = int(err.sum())
+            sub["state"] = jnp.full((n_err,), StatusCode.Evaluate, jnp.int32)
+            sub["_active"] = jnp.ones((n_err,), bool)
+            for d in ("dx", "dy", "dz"):
+                sub[d] = jnp.zeros_like(sub[d])
+            out = engine_step(
+                fsview, sub, jnp.float32(next_time), jnp.float32(dt),
+                kernels, sign_dt, rk45_mode,
+            )
+            return bool((np.asarray(out["state"]) < MIN_ERROR_CODE).all())
+        except Exception:  # pragma: no cover - diagnostic must never mask
+            return True
 
     def _raise_errors(self, dev, states: np.ndarray, active: np.ndarray):
         err = active & (states >= MIN_ERROR_CODE)
@@ -632,22 +717,32 @@ class ParticleSet:
         cache[kernels] = result
         return result
 
-    def _set_sampler_occupancy_hint(self):
-        """Tell the binned-sampler planner how concentrated the batch is in z.
+    def _set_sampler_occupancy_hint(self) -> float:
+        """Measure how concentrated the batch is in z for the binned planner.
 
         The planner's bin-population feasibility assumes lanes uniform over
         all z-cells (ops/binned_sample.slab_geometry); a surface-only release
         occupies 1 of Z cells and would be misplanned into the sparse
         fallback. Measured host-side from the live z values against the
         deepest grid's levels — quantized, so replans/recompiles only happen
-        across order-of-magnitude occupancy shifts."""
+        across order-of-magnitude occupancy shifts. Returns the quantized
+        fraction; execute() threads it explicitly into the executor cache
+        key and trace (also mirrored into the process-wide default for
+        direct planner calls)."""
         from parcels_tpu.ops.binned_sample import set_z_occupancy_hint
 
         frac = 1.0
         try:
             grids = self.fieldset._gridset
             depth = max((np.asarray(g.depth) for g in grids), key=lambda d: d.size, default=None)
-            if depth is not None and depth.size > 2:
+            # only a 1-D strictly-monotonic depth axis gives a meaningful
+            # searchsorted bin; sigma/multi-dim depths fall back to 1.0
+            if (
+                depth is not None
+                and depth.ndim == 1
+                and depth.size > 2
+                and bool(np.all(np.diff(depth) > 0))
+            ):
                 z = np.asarray(self._data["z"])
                 act = np.asarray(self._data.get("_active", np.ones(z.shape, bool)))
                 z = z[act] if act.any() else z
@@ -655,7 +750,7 @@ class ParticleSet:
                 frac = np.unique(zi).size / max(depth.size - 1, 1)
         except Exception:  # pragma: no cover - hint is best-effort only
             frac = 1.0
-        set_z_occupancy_hint(frac)
+        return set_z_occupancy_hint(frac)
 
     def _lockstep_window(self, dt: float, rk45_mode: bool, kernels: tuple = ()) -> int:
         """Static time-window size W proving this run's evaluated lanes always
@@ -718,9 +813,9 @@ class ParticleSet:
 
     def _get_executor(
         self, kernels: tuple, sign_dt: int, rk45_mode: bool, blocked: bool = True,
-        lockstep_w: int = 0,
+        lockstep_w: int = 0, z_occ: float = 1.0,
     ):
-        key = (kernels, sign_dt, rk45_mode, blocked, lockstep_w, id(self._pclass))
+        key = (kernels, sign_dt, rk45_mode, blocked, lockstep_w, z_occ, id(self._pclass))
         cache = self.fieldset._executor_cache
         if key not in cache:
             # donate=False keeps pre-chunk snapshots valid for the async
@@ -733,6 +828,7 @@ class ParticleSet:
                 donate=False,
                 block_size=None if blocked else 2**62,
                 lockstep_w=lockstep_w,
+                z_occ=z_occ,
             )
         return cache[key]
 
@@ -788,9 +884,12 @@ def _snapshot(dev: dict) -> dict:
 
 
 def _warn_outputdt_release_desync(outputdt, starttime, release_times):
-    if outputdt and any(
-        (np.isfinite(t) and (t - starttime) % outputdt != 0) for t in release_times
-    ):
+    # vectorized: this runs on the hot execute() entry at 10M+ particles
+    if not outputdt:
+        return
+    rt = np.asarray(release_times)
+    finite = np.isfinite(rt)
+    if np.any(np.mod(rt[finite] - starttime, outputdt) != 0):
         warnings.warn(
             "Some of the particles have a start time difference that is not a multiple of outputdt. "
             "This could cause the first output of some of the particles that start later "

@@ -305,7 +305,23 @@ def nemo_to_sgrid(*, fields: dict, coords) -> xr.Dataset:
     renamed = {}
     for name, fda in fields.items():
         if hasattr(fda, "data_vars"):
-            fda = fda[name] if name in getattr(fda, "data_vars", {}) else fda[next(iter(fda.data_vars))]
+            # resolve the variable inside a multi-variable dataset: the
+            # Parcels name, else its native NEMO name (vozocrtx for U, ...),
+            # else an unambiguous single data var. Never "the first data
+            # var" — MOi files ship diagnostics alongside the velocity.
+            dvars = list(getattr(fda, "data_vars", {}))
+            natives = [nm for nm, pn in _NEMO_VARNAMES_MAPPING.items() if pn == name]
+            if name in dvars:
+                fda = fda[name]
+            elif any(nm in dvars for nm in natives):
+                fda = fda[next(nm for nm in natives if nm in dvars)]
+            elif len(dvars) == 1:
+                fda = fda[dvars[0]]
+            else:
+                raise ValueError(
+                    f"Cannot resolve field {name!r} in a dataset with variables "
+                    f"{dvars}; rename the variable or pass the DataArray directly."
+                )
         dims = tuple(str(d) for d in fda.dims)
         # U sits on the y-center row, V on the x-center column (C-grid)
         if name == "U":

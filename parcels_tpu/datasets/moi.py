@@ -41,6 +41,8 @@ def moi_like_inputs(
     v: float | None = None,
     data_dtype=np.float32,
     zero_data: bool = False,
+    with_w: bool = False,
+    w: float | None = None,
 ):
     """(fields, coords) with native MOi naming, ready for ``nemo_to_sgrid``.
 
@@ -48,6 +50,10 @@ def moi_like_inputs(
     velocities are random in ±0.3 m/s (bench realism). ``zero_data=True``
     allocates U/V as broadcast views of a scalar zero — effectively free on
     host — for benchmarks that overwrite the device arrays in place.
+    ``with_w`` adds the vertical component ``vovecrtz`` on w-levels (the
+    reference MOi registry ships U, V AND W —
+    reference _datasets/remote.py:252-257), making the fieldset 3-D
+    (RK4_3D-capable); ``w`` sets it uniform.
     """
     rng = np.random.default_rng(seed)
     # f-point coordinates: global longitudes, -75..85 latitudes, with an
@@ -85,6 +91,21 @@ def moi_like_inputs(
             name="vomecrty",
         ),
     }
+    if with_w:
+        if zero_data:
+            W = np.broadcast_to(np.float32(0.0), shape)
+        elif w is not None:
+            W = np.full(shape, w, data_dtype)
+        else:
+            W = rng.uniform(-1e-4, 1e-4, shape).astype(data_dtype)
+        # NEMO convention: vovecrtz is positive-up; the convert layer negates
+        # it into the positive-down frame (convert._negate_w)
+        fields["vovecrtz"] = xr.DataArray(
+            W,
+            dims=("time_counter", "depthw", "y", "x"),
+            attrs={"units": "m s-1", "standard_name": "upward_sea_water_velocity"},
+            name="vovecrtz",
+        )
     coords = xr.Dataset(
         coords={
             "time_counter": (

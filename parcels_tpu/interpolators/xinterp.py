@@ -104,17 +104,19 @@ def _use_pallas_fast_path(shape4) -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-def _linear_sample(data, gpos, blend=(True, True, True, True)):
+def _linear_sample(data, gpos, blend=(True, True, True, True), view=None):
     """Multilinear hat sampling of ``data`` at ``gpos``, dispatched to the
     fastest available path: VMEM Pallas fold, binned slab sampler (on
-    engine-sorted batches), or the XLA multi-gather fallback.
+    engine-sorted dense batches), corner-column row-gather sampler
+    (HBM-scale fields, any lane order), or the XLA multi-gather fallback.
 
     ``gpos`` may be synthetic (integer bcoords select exact columns, so
     piecewise-constant axes are expressible too) — the C-grid interpolator
     builds face-flux samples this way. ``blend`` marks which (T, Z, Y, X)
     axes actually interpolate: a False axis must have bcoord == 0, and the
     XLA fallback then gathers a single level instead of two (the hat paths
-    produce the identical selection either way).
+    produce the identical selection either way). ``view`` is the FieldView
+    when available — it carries the cached corner-column table.
     """
     T, Z, Y, X = data.shape
 
@@ -137,6 +139,12 @@ def _linear_sample(data, gpos, blend=(True, True, True, True)):
 
     if binned_enabled(data.shape, gpos):
         return binned_linear_sample(data, gpos)
+
+    from parcels_tpu.ops.colgather import colgather_enabled, colgather_sample
+
+    if colgather_enabled(data.shape, gpos):
+        table = view.col_table() if view is not None else None
+        return colgather_sample(data, gpos, blend, table)
     return xla_path()
 
 
@@ -149,7 +157,7 @@ class XLinear(ScalarInterpolator):
     """
 
     def interp(self, ppos, gpos, field):
-        return _linear_sample(field.data, gpos)
+        return _linear_sample(field.data, gpos, view=field)
 
 
 class XConstantField(ScalarInterpolator):
@@ -308,7 +316,7 @@ class CGrid_Velocity(VectorInterpolator):  # noqa: N801
         c3 = edge_len(dlon23, dlat23, py0 + dlat30 + xsi * dlat23)  # north: p3->p2
         c4 = edge_len(dlon30, dlat30, py0 + eta * dlat30)  # west: p0->p3
 
-        def sample(data, t_ix, z_ix, zb, y_ix, yb, x_ix, xb, blend):
+        def sample(comp, t_ix, z_ix, zb, y_ix, yb, x_ix, xb, blend):
             pseudo = {
                 "T": {"index": t_ix, "bcoord": tau},
                 "Z": {"index": z_ix, "bcoord": zb},
@@ -316,11 +324,12 @@ class CGrid_Velocity(VectorInterpolator):  # noqa: N801
                 "X": {"index": x_ix, "bcoord": xb},
                 "_sorted": srt,
                 "_lockstep": gpos.get("_lockstep", 0),
+                "_z_occ": gpos.get("_z_occ"),
             }
             for k in ("active", "mask"):
                 if k in gpos:
                     pseudo[k] = gpos[k]
-            return _linear_sample(data, pseudo, blend)
+            return _linear_sample(comp.data, pseudo, blend, view=comp)
 
         zero = jnp.zeros_like(xsi)
         zi_c = jnp.clip(zi, 0, Z - 1)
@@ -333,14 +342,14 @@ class CGrid_Velocity(VectorInterpolator):  # noqa: N801
         au, bu = (1.0 - xsi) * c4, xsi * c2
         su = au + bu
         Uvel = su * sample(
-            U, ti, zi_c, zero, yi_o, zero,
+            vf.U, ti, zi_c, zero, yi_o, zero,
             jnp.clip(xi, 0, max(X - 2, 0)), bu / jnp.maximum(su, 1e-30),
             blend=(True, False, False, True),
         )
         av, bv = (1.0 - eta) * c1, eta * c3
         sv = av + bv
         Vvel = sv * sample(
-            V, ti, zi_c, zero, jnp.clip(yi, 0, max(Y - 2, 0)),
+            vf.V, ti, zi_c, zero, jnp.clip(yi, 0, max(Y - 2, 0)),
             bv / jnp.maximum(sv, 1e-30), xi_o, zero,
             blend=(True, False, True, False),
         )
@@ -364,7 +373,7 @@ class CGrid_Velocity(VectorInterpolator):  # noqa: N801
             W = vf.W.data
             Zw = W.shape[1]
             w = sample(
-                W, ti, jnp.clip(zi + off_z, 0, max(Zw - 2, 0)), zeta, yi_o, zero, xi_o, zero,
+                vf.W, ti, jnp.clip(zi + off_z, 0, max(Zw - 2, 0)), zeta, yi_o, zero, xi_o, zero,
                 blend=(True, True, False, False),
             )
         else:

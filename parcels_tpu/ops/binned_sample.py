@@ -113,24 +113,38 @@ def _zwin(SZ: int) -> int:
 # releases occupy 1 of 50 z-cells), making the uniform estimate reject bins
 # that are actually full and dropping the batch into the overflow-heavy
 # sparse fallback. The ParticleSet measures the occupied z fraction at
-# execute() time and sets it here (quantized so the lru_cache/compile key
-# only changes across order-of-magnitude shifts).
+# execute() time, quantizes it (so plans/compiles only change across
+# order-of-magnitude shifts), and threads it EXPLICITLY through the
+# executor: it is captured at executor-build time, baked into the executor
+# cache key, and carried to the planner via ``gpos["_z_occ"]`` / the
+# ``z_occ=`` keyword. The module global below is only the default for
+# direct planner calls that pass nothing (scripts, micro-benches).
 _Z_OCCUPANCY = 1.0
 _Z_OCC_LEVELS = (1.0, 0.5, 0.25, 0.1, 0.05, 0.02)
 
 
+def quantize_z_occupancy(frac: float) -> float:
+    """Quantize an occupied-z fraction to the planner's coarse levels."""
+    return min(
+        (lv for lv in _Z_OCC_LEVELS if lv >= max(float(frac), _Z_OCC_LEVELS[-1])),
+        default=1.0,
+    )
+
+
 def set_z_occupancy_hint(frac: float) -> float:
     """Record the fraction of z-cells occupied by the current particle
-    batch; returns the quantized value the planner will use."""
+    batch (process-wide default); returns the quantized value."""
     global _Z_OCCUPANCY
-    q = min((lv for lv in _Z_OCC_LEVELS if lv >= max(float(frac), _Z_OCC_LEVELS[-1])),
-            default=1.0)
-    _Z_OCCUPANCY = q
-    return q
+    _Z_OCCUPANCY = quantize_z_occupancy(frac)
+    return _Z_OCCUPANCY
 
 
-def slab_geometry(shape4, n):
-    return _slab_geometry_impl(shape4, n, _Z_OCCUPANCY)
+def current_z_occupancy() -> float:
+    return _Z_OCCUPANCY
+
+
+def slab_geometry(shape4, n, z_occ: float | None = None):
+    return _slab_geometry_impl(shape4, n, _Z_OCCUPANCY if z_occ is None else z_occ)
 
 
 @functools.lru_cache(maxsize=None)
@@ -217,11 +231,12 @@ def _slab_geometry_impl(shape4, n, z_occupancy):
 _FEASIBLE_CACHE: dict = {}
 
 
-def plan_feasible(shape4, n) -> bool:
+def plan_feasible(shape4, n, z_occ: float | None = None) -> bool:
     """Did the current plan for (shape4, n) meet the bin-population bar?"""
-    key = (tuple(shape4), n, _Z_OCCUPANCY)
+    occ = _Z_OCCUPANCY if z_occ is None else z_occ
+    key = (tuple(shape4), n, occ)
     if key not in _FEASIBLE_CACHE:
-        slab_geometry(tuple(shape4), n)
+        slab_geometry(tuple(shape4), n, occ)
     # PARCELS_TPU_BINNED_GEOM-forced plans bypass scoring: treat as feasible
     return _FEASIBLE_CACHE.get(key, True)
 
@@ -252,7 +267,7 @@ def binned_enabled(shape4, gpos) -> bool:
     # auto: only when the bin plan is feasible for this density — in the
     # sparse regime the overflow fix-up dominates and gather wins
     n = gpos["X"]["index"].shape[0]
-    return plan_feasible(shape4, n)
+    return plan_feasible(shape4, n, gpos.get("_z_occ"))
 
 
 # ---------------------------------------------------------------------------
@@ -270,7 +285,7 @@ def _bin_coords(geom, shape4, gpos):
     return zi // bz, yi // by, xi // bx
 
 
-def sort_key_for(spec, gpos, shape4, n):
+def sort_key_for(spec, gpos, shape4, n, z_occ: float | None = None):
     """int32 (spatial-bin, z-cell) sort key matching the slab geometry.
 
     Lexicographic (z-bin, y-bin, x-bin, z-cell): x-bins of one y-row stay
@@ -279,7 +294,7 @@ def sort_key_for(spec, gpos, shape4, n):
     bin's lanes by z so 128-lane sub-blocks share a z-window — exactly what
     the windowed two-slab kernel covers.
     """
-    geom = slab_geometry(tuple(shape4), n)
+    geom = slab_geometry(tuple(shape4), n, z_occ)
     _, _, _, _, bz, by, bx = geom
     T, Z, Y, X = shape4
     nby = -(-max(Y, 1) // by)
@@ -299,7 +314,7 @@ def sort_key_for(spec, gpos, shape4, n):
 def _build_plan(shape4, gpos):
     T, Z, Y, X = shape4
     n = gpos["X"]["index"].shape[0]
-    geom = slab_geometry(tuple(shape4), n)
+    geom = slab_geometry(tuple(shape4), n, gpos.get("_z_occ"))
     WT, SZ, SY, SX, bz, by, bx = geom
     WZ = _zwin(SZ)
     Tp, Zp, Yp, Xp = _padded_dims(shape4)

@@ -240,6 +240,22 @@ class YBandDomain:
     def _sharding(self, ndim: int) -> NamedSharding:
         return NamedSharding(self.mesh, P(*((self.axis,) + (None,) * (ndim - 1))))
 
+    def _put(self, arr, ndim: int | None = None):
+        """Shard a host array over the band mesh; multi-process safe.
+
+        Every process builds the identical global host array (plans, slabs
+        and seeding are deterministic), so under ``jax.distributed`` each
+        process contributes its addressable shards via
+        ``make_array_from_callback`` — the same construction ParticleMesh
+        uses (sharding.py) — while single-process runs keep the plain
+        ``device_put``.
+        """
+        sh = self._sharding(ndim if ndim is not None else np.ndim(arr))
+        if jax.process_count() > 1:
+            host = np.asarray(arr)
+            return jax.make_array_from_callback(host.shape, sh, lambda idx: host[idx])
+        return jax.device_put(jnp.asarray(arr), sh)
+
     def stacked_farrays(self) -> dict:
         """Per-band field/grid slabs stacked on a leading device axis, sharded."""
         if self._stacked_cache is not None:
@@ -326,7 +342,7 @@ class YBandDomain:
             else:
                 garrs = {k: np.broadcast_to(v, (n,) + v.shape) for k, v in garrs.items()}
             out["grids"].append(
-                {k: jax.device_put(jnp.asarray(v), self._sharding(v.ndim)) for k, v in garrs.items()}
+                {k: self._put(v, v.ndim) for k, v in garrs.items()}
             )
         from parcels_tpu._core.field import Field
 
@@ -357,9 +373,7 @@ class YBandDomain:
                 )
             else:
                 slabs = np.broadcast_to(data, (n,) + data.shape)
-            out["fields"][name] = jax.device_put(
-                jnp.asarray(slabs), self._sharding(slabs.ndim)
-            )
+            out["fields"][name] = self._put(slabs, slabs.ndim)
         blo = np.zeros(self.n) if self.band_lo is None else self.band_lo
         bhi = np.zeros(self.n) if self.band_hi is None else self.band_hi
         # slab node extent per band: landing beyond it means this step's
@@ -367,18 +381,10 @@ class YBandDomain:
         main = self._grid_plans[self._main_igrid]
         slabs = main["lat_slabs"]
         if not self.curvilinear:
-            out["halo_lo"] = jax.device_put(
-                jnp.asarray(slabs[:, 0], dtype=jnp.float32), self._sharding(1)
-            )
-            out["halo_hi"] = jax.device_put(
-                jnp.asarray(slabs[:, -1], dtype=jnp.float32), self._sharding(1)
-            )
-        out["band_lo"] = jax.device_put(
-            jnp.asarray(blo, dtype=jnp.float32), self._sharding(1)
-        )
-        out["band_hi"] = jax.device_put(
-            jnp.asarray(bhi, dtype=jnp.float32), self._sharding(1)
-        )
+            out["halo_lo"] = self._put(np.asarray(slabs[:, 0], dtype=np.float32), 1)
+            out["halo_hi"] = self._put(np.asarray(slabs[:, -1], dtype=np.float32), 1)
+        out["band_lo"] = self._put(np.asarray(blo, dtype=np.float32), 1)
+        out["band_hi"] = self._put(np.asarray(bhi, dtype=np.float32), 1)
         return out
 
     def _ensure_windowed_specs(self):
@@ -506,8 +512,15 @@ class YBandDomain:
         """
         L = lane_capacity or self.lane_capacity(pdata)
         n = self.n
-        band = self.band_of(np.asarray(pdata["y"]), np.asarray(pdata["x"]))
-        order = np.argsort(band, kind="stable")
+        # regroup ACTIVE lanes only: inactive padding (e.g. restored from a
+        # checkpoint of a previously-sharded set) carries default positions
+        # that would otherwise inflate one band's occupancy
+        act = np.asarray(pdata["_active"]).astype(bool)
+        idx_act = np.nonzero(act)[0]
+        band = self.band_of(
+            np.asarray(pdata["y"])[idx_act], np.asarray(pdata["x"])[idx_act]
+        )
+        order = idx_act[np.argsort(band, kind="stable")]
         counts = np.bincount(band, minlength=n)
         if counts.max() > L:
             raise ValueError(f"Band occupancy {counts.max()} exceeds lane capacity {L}.")
@@ -517,7 +530,7 @@ class YBandDomain:
             v = np.asarray(v)
             if k == "_rng":
                 keys = jax.random.split(jax.random.wrap_key_data(jnp.asarray(v), impl="threefry2x32"), n)
-                out[k] = jax.device_put(jax.random.key_data(keys), self._sharding(2))
+                out[k] = self._put(np.asarray(jax.random.key_data(keys)), 2)
                 continue
             buf = np.zeros((n * L,) + v.shape[1:], dtype=v.dtype)
             if k == "particle_id":
@@ -528,13 +541,9 @@ class YBandDomain:
             if k == "_active":
                 for b in range(n):
                     buf[b * L + counts[b] : (b + 1) * L] = False
-            out[k] = jax.device_put(jnp.asarray(buf), self._sharding(buf.ndim))
-        out["_migof"] = jax.device_put(
-            jnp.zeros(n, dtype=jnp.int32), self._sharding(1)
-        )
-        out["_haloof"] = jax.device_put(
-            jnp.zeros(n, dtype=jnp.int32), self._sharding(1)
-        )
+            out[k] = self._put(buf, buf.ndim)
+        out["_migof"] = self._put(np.zeros(n, dtype=np.int32), 1)
+        out["_haloof"] = self._put(np.zeros(n, dtype=np.int32), 1)
         return out
 
 
@@ -629,7 +638,15 @@ def _migrate_curvilinear(pd: dict, dom: "YBandDomain", axis: str, n_dev: int, ca
     update by at most one step — the halo absorbs that). Sent particles'
     cached indices are re-based into the receiver's local row frame; the
     receiver's warm-started walk absorbs any residual off-by-a-few.
+
+    Halo diagnostic (curvilinear twin of ``_migrate``'s y-bound check): a
+    lane that out-runs its band's halo-extended slab in one step fails the
+    point-in-cell walk and lands in ErrorGridSearching. Counting those
+    lanes into ``_haloof`` lets the host raise the actionable
+    increase-halo message instead of a bare GridSearchingError.
     """
+    viol = pd["_active"] & (pd["state"] == StatusCode.ErrorGridSearching)
+    pd["_haloof"] = pd["_haloof"] + jnp.sum(viol).astype(jnp.int32)
     h = dom.halo
     main_i, main = dom._main_igrid, dom._grid_plans[dom._main_igrid]
     Yb = main["Yb"]

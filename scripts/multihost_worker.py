@@ -26,8 +26,87 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
 
+def run_banded(pid, nproc):
+    """YBandDomain + per-step ppermute migration ACROSS the process boundary.
+
+    8 global devices = 8 Y-bands, 4 per process: a northward uniform flow
+    drives every particle across band edges including the device-3 | device-4
+    edge, which is also the gloo process boundary. Verifies the closed form
+    AND that particle identities survive the cross-process exchanges.
+    """
+    import jax.numpy as jnp
+
+    from parcels_tpu import FieldSet
+    from parcels_tpu._core.particle import create_particle_data, get_default_particle
+    from parcels_tpu.datasets import simple_UV_dataset
+    from parcels_tpu.kernels import AdvectionEE
+    from parcels_tpu.parallel.domain import YBandDomain, build_domain_executor
+
+    u, v = 0.0, 20.0
+    ds = simple_UV_dataset(dims=(2, 2, 64, 64), mesh="flat")
+    ds["U"].values[:] = u
+    ds["V"].values[:] = v
+    fs = FieldSet.from_sgrid_conventions(ds, mesh="flat")
+
+    dom = YBandDomain(fs, n_bands=4 * nproc, halo=3)
+    npart = 48
+    rng = np.random.default_rng(1)  # same seed everywhere: global seeding
+    x = rng.uniform(-5e5, 5e5, npart).astype(np.float32)
+    y = rng.uniform(-9e5, -6e5, npart).astype(np.float32)  # southern bands
+    pdata = create_particle_data(
+        pclass=get_default_particle(),
+        nparticles=npart,
+        ngrids=len(fs._gridset),
+        initial={"x": x, "y": y, "particle_id": np.arange(npart, dtype=np.int32)},
+    )
+    pdata["state"][:] = 10  # Evaluate
+
+    farrays = dom.stacked_farrays()
+    sdata = dom.shard_soa(pdata)
+    assert sdata["x"].sharding.num_devices == 4 * nproc
+
+    executor = build_domain_executor((AdvectionEE,), dom, sign_dt=1, rk45_mode=False)
+    # 20 m/s * 72000 s = +14.4e5 m: from bands 0-1 to bands 6-7, crossing ~6
+    # of the 2.5e5-m bands incl. the band-3|4 process boundary, while staying
+    # inside the +-1e6 m domain
+    dt, steps_per_chunk, chunks = 600.0, 12, 10
+    endt = 0.0
+    out = sdata
+    for _ in range(chunks):
+        endt += dt * steps_per_chunk
+        out = executor(farrays, out, jnp.float32(endt), jnp.float32(dt))
+
+    from jax.experimental import multihost_utils
+
+    host = {
+        k: np.asarray(multihost_utils.process_allgather(v, tiled=True))
+        for k, v in out.items()
+        if k not in ("_rng",)
+    }
+    assert int(host["_migof"].sum()) == 0 and int(host["_haloof"].sum()) == 0
+    act = host["_active"]
+    assert int(act.sum()) == npart
+    ids = host["particle_id"][act]
+    assert sorted(ids.tolist()) == list(range(npart)), "identity lost in migration"
+    order = np.argsort(ids)
+    ys = host["y"][act][order]
+    xs = host["x"][act][order]
+    np.testing.assert_allclose(ys, y + v * endt, rtol=1e-5, atol=0.5)
+    np.testing.assert_allclose(xs, x, atol=0.5)
+    # the run must actually have crossed the process boundary: final bands
+    # are in the upper half of the mesh for everyone
+    band = dom.band_of(ys, xs)
+    assert (band >= 4).all(), band
+    print(
+        f"proc {pid}/{nproc}: BANDED OK n={npart} global_devices={jax.device_count()} "
+        f"final_bands={sorted(set(band.tolist()))}",
+        flush=True,
+    )
+
+
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    mode = sys.argv[4] if len(sys.argv) > 4 else "pmesh"
     from parcels_tpu.parallel import ParticleMesh, init_distributed
 
     got = init_distributed(
@@ -35,6 +114,10 @@ def main():
     )
     assert got == pid, (got, pid)
     assert jax.process_count() == nproc
+
+    if mode == "banded":
+        run_banded(pid, nproc)
+        return
 
     import jax.numpy as jnp
 

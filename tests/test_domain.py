@@ -330,6 +330,35 @@ def test_halo_violation_raises():
         )
 
 
+def test_curvilinear_halo_violation_raises():
+    """Curvilinear twin of test_halo_violation_raises: a lane out-running its
+    band's halo slab surfaces the actionable increase-halo message, not a
+    bare GridSearchingError (the walk fails, but the position is still
+    findable on the GLOBAL grid — that is a halo breach, not off-grid)."""
+    from parcels_tpu.datasets import curvilinear_rotated_dataset
+
+    # 1 km cells rotated 30 deg: U=1 m/s zonal with dt=2h moves 7.2 km,
+    # -3.6 grid rows per step — far beyond halo=1 while staying well inside
+    # the global grid.
+    ds = curvilinear_rotated_dataset(xdim=200, ydim=64)
+    fs = FieldSet.from_sgrid_conventions(ds, mesh="flat")
+    dom = YBandDomain(fs, n_bands=8, halo=1)
+    assert dom.curvilinear
+    th = np.deg2rad(30.0)
+    sx, sy = 2e4, 50e3
+    pset = ParticleSet(
+        fs,
+        x=[np.cos(th) * sx - np.sin(th) * sy],
+        y=[np.sin(th) * sx + np.cos(th) * sy],
+        t=[0.0],
+    )
+    shard_particleset(pset, dom)
+    with pytest.raises(RuntimeError, match="[Hh]alo"):
+        pset.execute(
+            AdvectionRK4, dt=np.timedelta64(2, "h"), runtime=np.timedelta64(1, "D")
+        )
+
+
 def test_halo_sufficient_does_not_raise():
     """Same flow with an adequate halo completes and matches the closed form."""
     fs = _uniform_flow_fieldset(0.0, 20.0)

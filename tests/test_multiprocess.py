@@ -19,8 +19,7 @@ import pytest
 ROOT = Path(__file__).resolve().parent.parent
 
 
-@pytest.mark.slow
-def test_two_process_spmd_engine():
+def _launch_workers(mode: str):
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -29,7 +28,14 @@ def test_two_process_spmd_engine():
     env.pop("JAX_PLATFORMS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, str(ROOT / "scripts" / "multihost_worker.py"), str(i), "2", str(port)],
+            [
+                sys.executable,
+                str(ROOT / "scripts" / "multihost_worker.py"),
+                str(i),
+                "2",
+                str(port),
+                mode,
+            ],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env, cwd=ROOT,
         )
         for i in range(2)
@@ -42,7 +48,26 @@ def test_two_process_spmd_engine():
             p.kill()
             out, _ = p.communicate()
         outs.append(out)
+    return procs, outs
+
+
+@pytest.mark.slow
+def test_two_process_spmd_engine():
+    procs, outs = _launch_workers("pmesh")
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert f"proc {i}/2: OK" in out, out[-1500:]
+        assert "global_devices=8" in out
+
+
+@pytest.mark.slow
+def test_two_process_banded_migration():
+    """YBandDomain + per-step ppermute migration across a REAL process
+    boundary (VERDICT r2 next #2): flow crosses the device-3|4 band edge,
+    which is the gloo process boundary; closed form + particle identity
+    asserted inside the workers."""
+    procs, outs = _launch_workers("banded")
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        assert f"proc {i}/2: BANDED OK" in out, out[-1500:]
         assert "global_devices=8" in out

@@ -379,3 +379,80 @@ def test_sampling_initial_value(tmp_path):
     df = read_particlefile(path, decode_times=False)
     assert np.isfinite(df["sample"]).all()
     np.testing.assert_allclose(df["sample"], 2.5, rtol=1e-6)
+
+
+def test_write_fieldset_without_time(tmp_path):
+    """A time-less (steady) fieldset writes t in plain seconds with no
+    calendar metadata (reference test_particlefile.py:60-74)."""
+    import pyarrow.parquet as pq
+
+    from parcels_tpu.datasets import peninsula_dataset
+
+    ds = peninsula_dataset()
+    assert "time" not in ds.sizes
+    fs = FieldSet.from_sgrid_conventions(ds, mesh="flat")
+    pset = ParticleSet(fs, x=[3e4], y=[25e3], t=[0.0])
+    pf = ParticleFile(tmp_path / "nt.parquet", outputdt=np.timedelta64(1, "s"), mode="w")
+    pset.execute(
+        AdvectionRK4_nop, runtime=np.timedelta64(1, "s"), dt=np.timedelta64(1, "s"),
+        output_file=pf,
+    )
+    pf.close()
+    table = pq.read_table(tmp_path / "nt.parquet")
+    meta = table.schema.field("t").metadata or {}
+    assert meta.get(b"units", b"seconds") == b"seconds"
+    assert b"calendar" not in meta
+    assert table["t"].to_numpy()[-1] == 1.0
+
+
+def AdvectionRK4_nop(particles, fieldset):  # noqa: N802
+    """Do-nothing kernel (reference tests/common_kernels.py DoNothing)."""
+
+
+def test_repeated_release_age_based_deletion(tmp_path):
+    """Staggered releases + age-based deletion: each particle appears in the
+    file exactly maxvar times with sample_var = 1..maxvar (reference
+    test_pset_repeated_release_delayed_adding_deleting)."""
+    import jax.numpy as jnp
+
+    from parcels_tpu import StatusCode
+
+    npart, maxvar = 8, 4
+    fs = uniform_flow_fieldset(0.0, 0.0)
+    fs.add_context("maxvar", float(maxvar))
+    MyParticle = Particle.add_variable(Variable("sample_var", initial=0.0))
+
+    pset = ParticleSet(
+        fs,
+        pclass=MyParticle,
+        x=np.zeros(npart),
+        y=np.zeros(npart),
+        t=np.arange(1, npart + 1, dtype=np.float64),
+    )
+    pf = ParticleFile(tmp_path / "rr.parquet", outputdt=np.timedelta64(1, "s"), mode="w")
+
+    def IncrVar(particles, fieldset):  # noqa: N802
+        particles.sample_var = particles.sample_var + 1.0
+        particles.state = jnp.where(
+            particles.sample_var > fieldset.maxvar,
+            jnp.int32(StatusCode.Delete),
+            particles.state,
+        )
+
+    for _ in range(npart + maxvar + 2):
+        pset.execute(
+            IncrVar, dt=np.timedelta64(1, "s"), runtime=np.timedelta64(1, "s"),
+            output_file=pf,
+        )
+    pf.close()
+    df = read_particlefile(tmp_path / "rr.parquet")
+    counts = df[df["sample_var"] > 0].groupby("particle_id")["sample_var"].max()
+    assert (counts <= maxvar + 1).all()
+    assert len(counts) == npart  # every staggered release made it to the file
+
+
+def test_particlefile_readonly_attrs(tmp_path):
+    pf = ParticleFile(tmp_path / "ro.parquet", outputdt=np.timedelta64(1, "s"), mode="w")
+    for name in ("path", "outputdt"):
+        with pytest.raises(AttributeError):
+            setattr(pf, name, "something")

@@ -123,3 +123,62 @@ def test_edge_riding_particle_survives():
     pset = ParticleSet(fs, x=[5e3], y=[float(y_edge)], z=[10.0], t=[0.0])
     pset.execute(AdvectionRK4, dt=np.timedelta64(10, "m"), runtime=np.timedelta64(12, "h"))
     np.testing.assert_allclose(pset.x, 5e3 + 12 * 3600.0, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_fesom2_scale_e2e_advection():
+    """End-to-end advection at a realistic FESOM2-like mesh size (~78k
+    triangles; reference tests/test_uxarray_fieldset.py tier): ingest via
+    from_ugrid_conventions, advect a cloud with RK4, check the closed form."""
+    fs = _fs("uniform", "face", "zc", nx=200, ny=200, extent=1e6)
+    n_face = fs.gridset[0].spec.n_face
+    assert n_face > 70_000, n_face
+    rng = np.random.default_rng(5)
+    n = 2000
+    x0 = rng.uniform(2e5, 7e5, n)
+    y0 = rng.uniform(2e5, 7e5, n)
+    pset = ParticleSet(fs, x=x0.copy(), y=y0.copy(), z=np.full(n, 50.0), t=np.zeros(n))
+    pset.execute(AdvectionRK4, dt=np.timedelta64(30, "m"), runtime=np.timedelta64(1, "D"))
+    order = np.argsort(pset.particle_id)
+    np.testing.assert_allclose(pset.x[order], x0 + 1.0 * DAY, rtol=1e-6, atol=0.5)
+    np.testing.assert_allclose(pset.y[order], y0 + 0.5 * DAY, rtol=1e-6, atol=0.5)
+
+
+@pytest.mark.slow
+def test_million_face_cold_start():
+    """Cold-start stress: ingest a ~1M-triangle mesh (exercising the C++
+    coverage-raster path in native/ at scale) and locate 100k particles from
+    scratch; every in-mesh particle must land in a face containing it."""
+    import time as _time
+
+    t0 = _time.perf_counter()
+    ds = delaunay_flow_dataset(flow="uniform", placement="face", vertical="zc",
+                               nx=710, ny=710, extent=1e6)
+    fs = FieldSet.from_ugrid_conventions(ds, mesh="flat")
+    ingest_s = _time.perf_counter() - t0
+    grid = fs.gridset[0]
+    assert grid.spec.n_face > 950_000, grid.spec.n_face
+
+    rng = np.random.default_rng(6)
+    n = 100_000
+    x = rng.uniform(1e4, 9.9e5, n)
+    y = rng.uniform(1e4, 9.9e5, n)
+    pset = ParticleSet(fs, x=x, y=y, z=np.full(n, 50.0), t=np.zeros(n))
+    t0 = _time.perf_counter()
+    pset.populate_indices()
+    search_s = _time.perf_counter() - t0
+
+    # verify containment by barycentric coords of the assigned faces
+    import jax.numpy as jnp
+
+    garrs = grid.device_arrays()
+    gpos = grid.make_view(garrs).search(
+        jnp.asarray(np.full(n, 50.0, np.float32)), jnp.asarray(y.astype(np.float32)),
+        jnp.asarray(x.astype(np.float32)),
+    )
+    fi = np.asarray(gpos["FACE"]["index"])
+    assert (fi >= 0).mean() > 0.999  # interior points resolve
+    bc = np.asarray(gpos["FACE"]["bcoord"])
+    ok = fi >= 0
+    assert bc[ok].min() > -1e-3 and bc[ok].max() < 1 + 1e-3
+    print(f"1M-face ingest {ingest_s:.1f}s, 100k cold search {search_s:.1f}s")
