@@ -319,20 +319,28 @@ def engine_step(
 
     # Kernel chain; each kernel is followed by masked Repeat
     # resubmission (RK45 adaptive dt, reference kernel.py:208-218).
+    from parcels_tpu.ops import stagecache
+
     for f in kernel_fns:
+        # the C-grid cell cache must not cross kernel-call boundaries
+        # (semantics AND trace-scope: its tracers belong to one region)
+        stagecache.reset(fsview)
         view = Particles(pd, eval_mask, sorted_hint, lockstep_w, z_occ)
         f(view, fsview)
+        stagecache.reset(fsview)
 
         def rcond(pdd):
             return jnp.any(pdd["_active"] & (pdd["state"] == StatusCode.Repeat))
 
         def rbody(pdd, f=f):
             pdd = dict(pdd)
+            stagecache.reset(fsview)
             rview = Particles(
                 pdd, pdd["_active"] & (pdd["state"] == StatusCode.Repeat), sorted_hint,
                 z_occ_hint=z_occ,
             )
             f(rview, fsview)
+            stagecache.reset(fsview)
             return pdd
 
         pd = jax.lax.while_loop(rcond, rbody, pd)

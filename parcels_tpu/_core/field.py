@@ -197,7 +197,10 @@ class FieldView:
 
 
 class VectorFieldView:
-    __slots__ = ("name", "U", "V", "W", "grid", "igrid", "interp_method", "vector_type")
+    __slots__ = (
+        "name", "U", "V", "W", "grid", "igrid", "interp_method", "vector_type",
+        "_stage_cache",
+    )
 
     def __init__(self, name, U, V, W, interp_method):
         self.name = name
@@ -208,8 +211,15 @@ class VectorFieldView:
         self.igrid = U.igrid
         self.interp_method = interp_method
         self.vector_type = "3D" if W is not None else "2D"
+        # per-kernel-invocation cell cache (ops/stagecache.py); the engine
+        # resets it before every kernel call
+        self._stage_cache = None
 
     def eval(self, t, z, y, x, particles: Particles | None = None):
+        from parcels_tpu.ops import stagecache
+
+        if stagecache.enabled(self):
+            return stagecache.cgrid_cached_eval(self, t, z, y, x, particles)
         ppos, gpos = _get_positions(self.U, t, z, y, x, particles)
         u, v, w = self.interp_method.interp(ppos, gpos, self)
         if particles is not None:

@@ -33,6 +33,21 @@ __all__ = ["FieldSet"]
 _ORDER = "TZYX"
 
 
+def _fillna(arr: np.ndarray, fill_value) -> np.ndarray:
+    """NaN -> fill, skipping the full-size copy for broadcast views.
+
+    ``zero_data`` benchmark fieldsets and constant fields arrive as
+    zero-stride broadcasts of one scalar; materializing them via
+    ``np.nan_to_num`` costs gigabytes of host copies for nothing (minutes on
+    a small-core host at the true MOi resolution)."""
+    if arr.ndim and all(s == 0 for s in arr.strides):
+        v = arr.reshape(-1)[:1]
+        if not (np.issubdtype(arr.dtype, np.floating) and np.isnan(v[0])):
+            return arr
+        return np.broadcast_to(np.asarray(fill_value, dtype=arr.dtype), arr.shape)
+    return np.nan_to_num(arr, nan=fill_value)
+
+
 def _transpose_to_tzyx(da: xr.DataArray, metadata: sgrid.SGrid2DMetadata) -> np.ndarray:
     """Transpose/expand a DataArray of any shape into dense (T, Z, Y, X) numpy."""
     dim_to_axis = metadata.dim_to_axis() | {"time": "T"}
@@ -310,7 +325,7 @@ class FieldSet:
             if getattr(arr, "_parcels_lazy", False):
                 arr = arr.with_fill(fill_value)
             else:
-                arr = np.nan_to_num(arr, nan=fill_value)
+                arr = _fillna(arr, fill_value)
             f = Field(str(varname), arr, grid, interp_method=XLinear())
             scalar_fields[str(varname)] = f
             fs.add_field(f)
@@ -409,7 +424,7 @@ class FieldSet:
             arr = np.asarray(da.values).transpose([dims.index(d) for d in order])
             if "time" not in dims:
                 arr = arr[None]
-            arr = np.nan_to_num(arr, nan=fill_value)
+            arr = _fillna(arr, fill_value)
             interp_cls = interp_by_dims[(vdim, ldim)]
             f = Field(str(varname), arr, grid, interp_method=interp_cls())
             scalar_fields[str(varname)] = f

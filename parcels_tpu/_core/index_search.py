@@ -60,9 +60,22 @@ def search_1d(
         idx = jnp.where(x > hi, RIGHT_OUT_OF_BOUNDS, idx)
         return idx, bcoord
 
-    idx = jnp.clip(jnp.searchsorted(arr, x, side="right").astype(jnp.int32) - 1, 0, n - 2)
-    left = arr[idx]
-    right = arr[jnp.clip(idx + 1, 1, n - 1)]
+    if n <= 128:
+        # short non-uniform axis (e.g. 50 stretched depth levels): broadcast
+        # compare/select passes on the VPU instead of per-lane scalar
+        # gathers — jnp.searchsorted plus the arr[idx] reads dominated the
+        # warm-started curvilinear search at config-5 scale
+        ge = x[..., None] >= arr
+        ins = jnp.sum(ge, axis=-1).astype(jnp.int32)
+        idx = jnp.clip(ins - 1, 0, n - 2)
+        j = jnp.arange(n, dtype=jnp.int32)
+        onehot = (j == idx[..., None]).astype(arr.dtype)
+        left = jnp.sum(onehot * arr, axis=-1)
+        right = jnp.sum(onehot * jnp.roll(arr, -1), axis=-1)
+    else:
+        idx = jnp.clip(jnp.searchsorted(arr, x, side="right").astype(jnp.int32) - 1, 0, n - 2)
+        left = jnp.take(arr, idx)
+        right = jnp.take(arr, jnp.clip(idx + 1, 1, n - 1))
     bcoord = (x - left) / (right - left)
 
     lo, hi = (arr[0], arr[-1]) if oob_bounds is None else oob_bounds
@@ -305,28 +318,45 @@ def build_pic_table(lon2d, lat2d, spherical: bool):
     return tbl
 
 
+def query_xyz(y, x, spherical: bool):
+    """Embedding-frame query coordinates (computed once per batch: the trig
+    is hoisted out of walk iterations and stage-cache hit checks)."""
+    if spherical:
+        return _latlon_to_xyz(y, x)
+    return x, y, jnp.zeros_like(x)
+
+
+def pic_from_rows(row, q):
+    """Point-in-cell check against pre-gathered pic-table rows (n, 16).
+
+    ``q`` is ``query_xyz(y, x, spherical)``. Returns (in_cell, xsi, eta).
+    Used by the walk (rows gathered per iteration) and by the C-grid stage
+    cache (rows cached across RK stages, ops/stagecache.py — zero gathers
+    on the hit path).
+    """
+    qX, qY, qZ = q
+    dx = qX - row[:, 0]
+    dy = qY - row[:, 1]
+    dz = qZ - row[:, 2]
+    qu = dx * row[:, 3] + dy * row[:, 4] + dz * row[:, 5]
+    qv = dx * row[:, 6] + dy * row[:, 7] + dz * row[:, 8]
+    pu = jnp.stack([jnp.zeros_like(qu), row[:, 9], row[:, 11], row[:, 13]])
+    pv = jnp.stack([jnp.zeros_like(qv), row[:, 10], row[:, 12], row[:, 14]])
+    xsi, eta = _bilinear_inverse(pu, pv, qu, qv)
+    return _tol_check(xsi, eta), xsi, eta
+
+
 def _make_point_in_cell_table(table_flat, ncols_x, y, x, spherical: bool):
     """Table-backed pic closure: one row-gather per lane per invocation.
 
     ``table_flat`` is the (cells, 16) flattened table; ``ncols_x`` the
     number of cells per row (xdim - 1).
     """
-    if spherical:
-        qX, qY, qZ = _latlon_to_xyz(y, x)
-    else:
-        qX, qY, qZ = x, y, jnp.zeros_like(x)
+    q = query_xyz(y, x, spherical)
 
     def pic(yi, xi):
         row = table_flat[yi * ncols_x + xi]  # (n, 16)
-        dx = qX - row[:, 0]
-        dy = qY - row[:, 1]
-        dz = qZ - row[:, 2]
-        qu = dx * row[:, 3] + dy * row[:, 4] + dz * row[:, 5]
-        qv = dx * row[:, 6] + dy * row[:, 7] + dz * row[:, 8]
-        pu = jnp.stack([jnp.zeros_like(qu), row[:, 9], row[:, 11], row[:, 13]])
-        pv = jnp.stack([jnp.zeros_like(qv), row[:, 10], row[:, 12], row[:, 14]])
-        xsi, eta = _bilinear_inverse(pu, pv, qu, qv)
-        return _tol_check(xsi, eta), xsi, eta
+        return pic_from_rows(row, q)
 
     return pic
 
@@ -402,18 +432,30 @@ def curvilinear_search(
     in_cell, xsi, eta = pic(yi, xi)
 
     if lookup is not None:
-        # Re-seed misses from the coarse raster.
+        # Re-seed misses from the coarse raster — under a batch-wide cond:
+        # in the warm-started steady state every lane passes the first
+        # point-in-cell check, and the unconditional 2-D seed-table reads
+        # were 2 scalar gathers/lane of pure waste (measured ~40% of warm
+        # search time at config-5 scale).
         ly0, lx0 = lookup["origin"]
         lys, lxs = lookup["step"]
         tbl_y = lookup["yi"]  # (ny, nx) int32 seeds
         tbl_x = lookup["xi"]
         ny, nx = tbl_y.shape
-        ry = jnp.clip(jnp.floor((y - ly0) / lys).astype(jnp.int32), 0, ny - 1)
-        rx = jnp.clip(jnp.floor((x - lx0) / lxs).astype(jnp.int32), 0, nx - 1)
-        seed_y = tbl_y[ry, rx]
-        seed_x = tbl_x[ry, rx]
-        yi = jnp.where(in_cell, yi, jnp.clip(seed_y, 0, ydim - 2))
-        xi = jnp.where(in_cell, xi, jnp.clip(seed_x, 0, xdim - 2))
+
+        def reseed(args):
+            yi, xi = args
+            ry = jnp.clip(jnp.floor((y - ly0) / lys).astype(jnp.int32), 0, ny - 1)
+            rx = jnp.clip(jnp.floor((x - lx0) / lxs).astype(jnp.int32), 0, nx - 1)
+            seed_y = tbl_y[ry, rx]
+            seed_x = tbl_x[ry, rx]
+            yi = jnp.where(in_cell, yi, jnp.clip(seed_y, 0, ydim - 2))
+            xi = jnp.where(in_cell, xi, jnp.clip(seed_x, 0, xdim - 2))
+            return yi, xi
+
+        yi, xi = jax.lax.cond(
+            jnp.all(in_cell), lambda args: args, reseed, (yi, xi)
+        )
         outside = (
             (y < ly0)
             | (y > ly0 + lys * ny)

@@ -1,0 +1,482 @@
+"""C-grid RK-stage cell cache: reuse search + face reads across stages.
+
+The config-5 profile (scripts/profile_config5.py, v5e, 10M lanes at
+(2,50,1500,2000)) puts ~38% of an RK4 step in the 4 warm-started
+curvilinear searches and ~46% in the 4 C-grid interpolation passes — and
+both are bound by the same primitive, the ~115M rows/s row-gather issue
+rate (pic row, geometry row, and 2 corner-column rows per velocity
+component, ~6 takes per stage).
+
+But RK stages revisit the same cell: with dt under the advective CFL the
+2nd-4th stage positions (and usually the next step's 1st) lie in the
+1st stage's cell, at the same time bracket and depth level. Everything
+those stages gather is therefore already known:
+
+- the cell's tangent-frame pic row        -> in-cell check + (xsi, eta)
+  (index_search.pic_from_rows — pure VPU against the cached row)
+- the cell's C-grid geometry row          -> edge lengths + Jacobian
+- the 4 U/V face values x 2 time levels   -> re-blend with fresh
+  (xsi, eta, tau) weights
+- the W column's 2 z-levels x 2 times     -> re-blend with fresh zeta
+
+so a cache-hit stage eval is gather-free VPU arithmetic. The cache lives
+on the VectorFieldView for the duration of ONE kernel invocation (the
+engine resets it before every kernel call, engine.py) — it never persists
+across engine steps, so migration/sorting/checkpointing cannot observe it.
+
+Stage-2+ misses (lanes that crossed a cell edge or a time/depth bracket
+mid-step) are repaired with the same tiered compacted-gather pattern as
+the binned sampler's overflow fix-up: capacity-K sub-batches run the full
+search+gather path and scatter results + fresh cache entries; if misses
+exceed the big tier the whole batch recomputes.
+
+Reference semantics preserved exactly: the full path is the same
+curvilinear search (sentinels included) + Delandmeter & van Sebille (2019)
+face-flux interpolation as interpolators/xinterp.CGrid_Velocity; the hit
+path evaluates the identical formula from cached operands. Out-of-bounds
+samples return 0 and escalate states as field.py does.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from parcels_tpu._core import index_search
+from parcels_tpu._core.statuscodes import StatusCode
+
+__all__ = ["cgrid_cached_eval", "enabled", "reset"]
+
+#: miss fix-up tier capacities, as n/DIV (cf. ops/binned_sample.py)
+_K_SMALL_DIV = int(os.environ.get("PARCELS_TPU_STAGECACHE_KSMALL_DIV", 64))
+_K_BIG_DIV = int(os.environ.get("PARCELS_TPU_STAGECACHE_KBIG_DIV", 8))
+
+
+def _mode() -> str:
+    return os.environ.get("PARCELS_TPU_STAGECACHE", "auto")
+
+
+def enabled(vf) -> bool:
+    """Static gate: C-grid velocity on a curvilinear grid with tables."""
+    from parcels_tpu.interpolators.xinterp import CGrid_Velocity
+
+    mode = _mode()
+    if mode in ("0", "off"):
+        return False
+    if not isinstance(vf.interp_method, CGrid_Velocity):
+        return False
+    spec = vf.grid.spec
+    garrs = vf.grid.garrs
+    if not (spec.curvilinear and "pic_table" in garrs and "cgrid_geom" in garrs):
+        return False
+    if mode == "force":
+        return True
+    return jax.default_backend() not in ("cpu",)
+
+
+def reset(fsview) -> None:
+    """Drop stage caches on every vector-field view (engine: before each
+    kernel invocation — the cache must never cross a kernel-call boundary,
+    both semantically and because its tracers belong to one trace scope)."""
+    for v in fsview._views.values():
+        if hasattr(v, "_stage_cache"):
+            v._stage_cache = None
+
+
+# ---------------------------------------------------------------------------
+# face-value quads
+# ---------------------------------------------------------------------------
+
+
+def _col_quad(field, ti, t1i, zcol, i0, i1):
+    """[(i0,t0), (i0,t1), (i1,t0), (i1,t1)] values at depth column ``zcol``
+    via 2 corner-column row-gathers + one-hot VPU reduces."""
+    T, Z, Y, X = field.data.shape
+    tbl = field.col_table()  # (Y*X, T*Z)
+    r0 = jnp.take(tbl, i0, axis=0)
+    r1 = jnp.take(tbl, i1, axis=0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, T * Z), 1)
+    m0 = (j == (ti * Z + zcol)[:, None]).astype(jnp.float32)
+    m1 = (j == (t1i * Z + zcol)[:, None]).astype(jnp.float32)
+    return jnp.stack(
+        [
+            jnp.sum(r0 * m0, axis=1),
+            jnp.sum(r0 * m1, axis=1),
+            jnp.sum(r1 * m0, axis=1),
+            jnp.sum(r1 * m1, axis=1),
+        ],
+        axis=1,
+    )
+
+
+def _flat_quad(field, ti, t1i, zcol, y0, x0, y1, x1):
+    """Same quad via 4 scalar gathers (fields without a corner-column table)."""
+    from parcels_tpu.interpolators.xinterp import _flat_gather
+
+    d = field.data
+    return jnp.stack(
+        [
+            _flat_gather(d, ti, zcol, y0, x0),
+            _flat_gather(d, t1i, zcol, y0, x0),
+            _flat_gather(d, ti, zcol, y1, x1),
+            _flat_gather(d, t1i, zcol, y1, x1),
+        ],
+        axis=1,
+    )
+
+
+def _quad(field, ti, t1i, zcol, y0, x0, y1, x1):
+    from parcels_tpu.ops.colgather import colgather_usable
+
+    T, Z, Y, X = field.data.shape
+    if colgather_usable(field.data.shape) and jax.default_backend() not in ("cpu",):
+        return _col_quad(field, ti, t1i, zcol, y0 * X + x0, y1 * X + x1)
+    return _flat_quad(field, ti, t1i, zcol, y0, x0, y1, x1)
+
+
+# ---------------------------------------------------------------------------
+# the blended C-grid velocity from cache columns (mirror of
+# interpolators/xinterp.CGrid_Velocity's geometry-table fast path)
+# ---------------------------------------------------------------------------
+
+
+def _blend(spec, geom, xsi, eta, tau, zeta, u4, v4, w4, Zw, y_deg):
+    deg2m = spec.deg2m
+    spherical = spec.spherical
+    dlon10, dlon23, dlon30, dlon21 = geom[:, 0], geom[:, 1], geom[:, 2], geom[:, 3]
+    dlat10, dlat23, dlat30, dlat21 = geom[:, 4], geom[:, 5], geom[:, 6], geom[:, 7]
+    py0 = geom[:, 8]
+
+    def edge_len(dlon, dlat, lat_edge):
+        if spherical:
+            rad = jnp.pi / 180.0
+            return jnp.sqrt(
+                (dlon * deg2m * jnp.cos(rad * lat_edge)) ** 2 + (dlat * deg2m) ** 2
+            )
+        return jnp.sqrt(dlon**2 + dlat**2)
+
+    c1 = edge_len(dlon10, dlat10, py0 + xsi * dlat10)
+    c2 = edge_len(dlon21, dlat21, py0 + dlat10 + eta * dlat21)
+    c3 = edge_len(dlon23, dlat23, py0 + dlat30 + xsi * dlat23)
+    c4 = edge_len(dlon30, dlat30, py0 + eta * dlat30)
+
+    u_w = u4[:, 0] * (1.0 - tau) + u4[:, 1] * tau
+    u_e = u4[:, 2] * (1.0 - tau) + u4[:, 3] * tau
+    v_s = v4[:, 0] * (1.0 - tau) + v4[:, 1] * tau
+    v_n = v4[:, 2] * (1.0 - tau) + v4[:, 3] * tau
+    Uvel = (1.0 - xsi) * c4 * u_w + xsi * c2 * u_e
+    Vvel = (1.0 - eta) * c1 * v_s + eta * c3 * v_n
+
+    dxdxsi = (1.0 - eta) * dlon10 + eta * dlon23
+    dxdeta = (1.0 - xsi) * dlon30 + xsi * dlon21
+    dydxsi = (1.0 - eta) * dlat10 + eta * dlat23
+    dydeta = (1.0 - xsi) * dlat30 + xsi * dlat21
+    jac = dxdxsi * dydeta - dxdeta * dydxsi
+    if spherical:
+        jac = jac * deg2m
+    u = (Uvel * dxdxsi + Vvel * dxdeta) / jac
+    v = (Uvel * dydxsi + Vvel * dydeta) / jac
+    if spherical:
+        conversion = deg2m * jnp.cos(jnp.deg2rad(y_deg))
+        u = u / conversion
+        v = v / conversion
+
+    if w4 is not None:
+        zb = jnp.clip(zeta, 0.0, 1.0) if Zw > 1 else jnp.zeros_like(zeta)
+        w_lo = w4[:, 0] * (1.0 - tau) + w4[:, 1] * tau
+        w_hi = w4[:, 2] * (1.0 - tau) + w4[:, 3] * tau
+        w = w_lo * (1.0 - zb) + w_hi * zb
+    else:
+        w = jnp.zeros_like(u)
+    return u, v, w
+
+
+# ---------------------------------------------------------------------------
+# full path: search + gathers for a (possibly compacted) batch
+# ---------------------------------------------------------------------------
+
+
+def _full(vf, y, x, ti, t1i, zc, wzi, yi_g, xi_g):
+    """Search + gather every cached operand for one batch of lanes.
+
+    Returns the cache-column dict plus the X/Y escalation code per lane.
+    """
+    grid = vf.grid
+    spec = grid.spec
+    garrs = grid.garrs
+    lkm = grid.lookup_meta
+    lookup = None
+    if spec.has_lookup and lkm is not None:
+        lookup = {
+            "origin": lkm["origin"],
+            "step": lkm["step"],
+            "yi": garrs["lookup_yi"],
+            "xi": garrs["lookup_xi"],
+        }
+    yi, eta, xi, xsi = index_search.curvilinear_search(
+        garrs["lon"], garrs["lat"], y, x, yi_g, xi_g,
+        spherical=spec.spherical, lookup=lookup, pic_table=garrs.get("pic_table"),
+    )
+
+    esc = jnp.where(
+        (yi == index_search.RIGHT_OUT_OF_BOUNDS) | (xi == index_search.RIGHT_OUT_OF_BOUNDS),
+        jnp.int32(StatusCode.ErrorOutOfBounds),
+        jnp.int32(0),
+    )
+    esc = jnp.maximum(
+        esc,
+        jnp.where(
+            (yi == index_search.GRID_SEARCH_ERROR) | (xi == index_search.GRID_SEARCH_ERROR),
+            jnp.int32(StatusCode.ErrorGridSearching),
+            jnp.int32(0),
+        ),
+    )
+
+    cy, cx = max(spec.ydim, 1), max(spec.xdim, 1)
+    yi_cl = jnp.clip(yi, 0, cy - 1)
+    xi_cl = jnp.clip(xi, 0, cx - 1)
+    cell = yi_cl * cx + xi_cl
+    valid = (yi >= 0) & (xi >= 0)
+
+    row = jnp.take(
+        garrs["pic_table"].reshape(-1, index_search.PIC_TABLE_COLS), cell, axis=0
+    )
+    geom = jnp.take(garrs["cgrid_geom"], cell, axis=0)
+
+    T, Z, Y, X = vf.U.data.shape
+    off_x, off_y = spec.offset_x, spec.offset_y
+    yi_o = jnp.clip(yi + off_y, 0, Y - 1)
+    xw = jnp.clip(xi, 0, max(X - 2, 0))
+    u4 = _quad(vf.U, ti, t1i, zc, yi_o, xw, yi_o, xw + 1)
+    xi_o = jnp.clip(xi + off_x, 0, X - 1)
+    yv = jnp.clip(yi, 0, max(Y - 2, 0))
+    v4 = _quad(vf.V, ti, t1i, zc, yv, xi_o, yv + 1, xi_o)
+
+    if vf.W is not None:
+        w4a = _col_or_flat_w(vf.W, ti, t1i, wzi, yi_o, xi_o)
+    else:
+        w4a = None
+
+    return {
+        "cell": jnp.where(valid, cell, jnp.int32(-1)),
+        "yi": yi_cl.astype(jnp.int32),
+        "xi": xi_cl.astype(jnp.int32),
+        "row": row,
+        "geom": geom,
+        "u4": u4,
+        "v4": v4,
+        "w4": w4a,
+        "esc": esc,
+        "oob": ~valid,
+    }
+
+
+def _col_or_flat_w(field, ti, t1i, wzi, yi_o, xi_o):
+    """W quad: [(z, t0), (z, t1), (z+1, t0), (z+1, t1)] at one column."""
+    from parcels_tpu.interpolators.xinterp import _flat_gather
+    from parcels_tpu.ops.colgather import colgather_usable
+
+    T, Z, Y, X = field.data.shape
+    z1 = jnp.clip(wzi + 1, 0, Z - 1)
+    if colgather_usable(field.data.shape) and jax.default_backend() not in ("cpu",):
+        tbl = field.col_table()
+        r = jnp.take(tbl, yi_o * X + xi_o, axis=0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, T * Z), 1)
+
+        def pick(tix, zix):
+            return jnp.sum(r * (j == (tix * Z + zix)[:, None]).astype(jnp.float32), axis=1)
+
+        return jnp.stack(
+            [pick(ti, wzi), pick(t1i, wzi), pick(ti, z1), pick(t1i, z1)], axis=1
+        )
+    d = field.data
+    return jnp.stack(
+        [
+            _flat_gather(d, ti, wzi, yi_o, xi_o),
+            _flat_gather(d, t1i, wzi, yi_o, xi_o),
+            _flat_gather(d, ti, z1, yi_o, xi_o),
+            _flat_gather(d, t1i, z1, yi_o, xi_o),
+        ],
+        axis=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# the cached eval
+# ---------------------------------------------------------------------------
+
+
+def cgrid_cached_eval(vf, t, z, y, x, particles):
+    """Drop-in replacement for VectorFieldView.eval on curvilinear C-grids."""
+    from parcels_tpu._core.field import _escalate
+
+    grid = vf.grid
+    spec = grid.spec
+    garrs = grid.garrs
+    t = jnp.asarray(t)
+    z = jnp.asarray(z)
+    y = jnp.asarray(y)
+    x = jnp.asarray(x)
+
+    if vf.U.has_time:
+        ti, tau, t_oob = index_search.search_time(garrs["time"], t, spec.time_uniform)
+    else:
+        ti = jnp.zeros(jnp.shape(t), dtype=jnp.int32)
+        tau = jnp.zeros(jnp.shape(t), dtype=jnp.float32)
+        t_oob = None
+    T = vf.U.data.shape[0]
+    t1i = jnp.clip(ti + 1, 0, T - 1)
+
+    if "Z" in spec.axes:
+        zi_raw, zeta = index_search.search_1d(garrs["depth"], z, spec.depth_uniform)
+    else:
+        zi_raw = jnp.zeros(z.shape, dtype=jnp.int32)
+        zeta = jnp.zeros(z.shape, dtype=jnp.float32)
+    Z = vf.U.data.shape[1]
+    zc = jnp.clip(zi_raw, 0, Z - 1)
+    if vf.W is not None:
+        Zw = vf.W.data.shape[1]
+        wzi = jnp.clip(zi_raw + spec.offset_z, 0, max(Zw - 2, 0))
+    else:
+        Zw = 1
+        wzi = jnp.zeros_like(zc)
+
+    # escalations independent of the X/Y search (mirror field.py
+    # _update_state_position's Z/T sentinel handling)
+    esc_zt = jnp.where(
+        zi_raw == index_search.RIGHT_OUT_OF_BOUNDS,
+        jnp.int32(StatusCode.ErrorOutOfBounds),
+        jnp.int32(0),
+    )
+    esc_zt = jnp.maximum(
+        esc_zt,
+        jnp.where(
+            zi_raw == index_search.LEFT_OUT_OF_BOUNDS,
+            jnp.int32(StatusCode.ErrorThroughSurface),
+            jnp.int32(0),
+        ),
+    )
+    if t_oob is not None:
+        esc_zt = jnp.maximum(
+            esc_zt,
+            jnp.where(t_oob, jnp.int32(StatusCode.ErrorOutsideTimeInterval), jnp.int32(0)),
+        )
+    z_oob = zi_raw < 0
+
+    c = vf._stage_cache
+    n = y.shape[0]
+
+    if c is None:
+        # first eval of this kernel invocation: full batch
+        ei = particles._get_ei(vf.igrid) if particles is not None else None
+        cy, cx = max(spec.ydim, 1), max(spec.xdim, 1)
+        if ei is not None:
+            xi_g = ei % cx
+            yi_g = (ei // cx) % cy
+        else:
+            yi_g = jnp.zeros(y.shape, dtype=jnp.int32)
+            xi_g = jnp.zeros(x.shape, dtype=jnp.int32)
+        c = _full(vf, y, x, ti, t1i, zc, wzi, yi_g, xi_g)
+        c["ti"] = ti
+        c["zi"] = zc
+        c["wzi"] = wzi
+        if particles is not None:
+            # only engine-driven evals cache: a host-side fieldset.eval may
+            # reuse one view across traces, where stored tracers would leak
+            vf._stage_cache = c
+        q = index_search.query_xyz(y, x, spec.spherical)
+        _, xsi, eta = index_search.pic_from_rows(c["row"], q)
+    else:
+        q = index_search.query_xyz(y, x, spec.spherical)
+        ok, xsi0, eta0 = index_search.pic_from_rows(c["row"], q)
+        finite = jnp.isfinite(y) & jnp.isfinite(x)
+        hit = (
+            ok
+            & (ti == c["ti"]) & (zc == c["zi"]) & (wzi == c["wzi"])
+            & (c["cell"] >= 0)
+        )
+        # dead/NaN lanes can never resolve: treat as hits (garbage values,
+        # masked by the caller) so they don't consume fix-up capacity
+        miss = ~hit & finite
+        if particles is not None:
+            miss = miss & particles._mask
+        cnt = jnp.sum(miss.astype(jnp.int32))
+        K_small = min(n, max(1024, n // _K_SMALL_DIV))
+        K_big = min(n, max(1024, n // _K_BIG_DIV))
+
+        cum = jnp.cumsum(miss.astype(jnp.int32))
+
+        def fixup_k(K):
+            def fixup(c):
+                idx = jnp.searchsorted(cum, jnp.arange(1, K + 1, dtype=cum.dtype))
+                idx = jnp.minimum(idx, n - 1).astype(jnp.int32)
+
+                def g(a):
+                    return jnp.take(a, idx, axis=0)
+
+                # warm-start the sub-search from the stale cached cell
+                sub = _full(
+                    vf, g(y), g(x), g(ti), g(t1i), g(zc), g(wzi),
+                    g(c["yi"]), g(c["xi"]),
+                )
+                out = dict(c)
+                for k in ("cell", "yi", "xi", "row", "geom", "u4", "v4"):
+                    out[k] = c[k].at[idx].set(sub[k])
+                if c["w4"] is not None:
+                    out["w4"] = c["w4"].at[idx].set(sub["w4"])
+                out["esc"] = jnp.zeros_like(c["esc"]).at[idx].set(sub["esc"])
+                out["oob"] = c["oob"].at[idx].set(sub["oob"])
+                out["ti"] = c["ti"].at[idx].set(g(ti))
+                out["zi"] = c["zi"].at[idx].set(g(zc))
+                out["wzi"] = c["wzi"].at[idx].set(g(wzi))
+                return out
+
+            return fixup
+
+        def full_all(c):
+            out = _full(vf, y, x, ti, t1i, zc, wzi, c["yi"], c["xi"])
+            out["ti"] = ti
+            out["zi"] = zc
+            out["wzi"] = wzi
+            return out
+
+        def keep(c):
+            out = dict(c)
+            out["esc"] = jnp.zeros_like(c["esc"])
+            return out
+
+        def small_or_more(c):
+            def big_or_full(c):
+                return jax.lax.cond(cnt <= K_big, fixup_k(K_big), full_all, c)
+
+            return jax.lax.cond(cnt <= K_small, fixup_k(K_small), big_or_full, c)
+
+        c = jax.lax.cond(cnt == 0, keep, small_or_more, c)
+        vf._stage_cache = c
+        _, xsi, eta = index_search.pic_from_rows(c["row"], q)
+
+    u, v, w = _blend(
+        spec, c["geom"], xsi, eta, tau, zeta, c["u4"], c["v4"], c["w4"], Zw, y
+    )
+
+    if particles is not None:
+        esc = jnp.maximum(esc_zt, c["esc"])
+        particles.state = jnp.maximum(particles.state, esc)
+        bad_val = jnp.isnan(u) | jnp.isnan(v) | jnp.isnan(w)
+        _escalate(particles, bad_val, StatusCode.ErrorInterpolation)
+        # refresh the warm-start ei cache (mirror _update_particles_ei)
+        ydim = max(spec.ydim, 1)
+        xdim = max(spec.xdim, 1)
+        ei_new = (zc * ydim + c["yi"]) * xdim + c["xi"]
+        particles._set_ei(vf.igrid, ei_new)
+
+    # OOB samples return 0 (reference field.py:359-370)
+    mask0 = c["oob"] | z_oob
+    u = jnp.where(mask0, 0.0, u)
+    v = jnp.where(mask0, 0.0, v)
+    w = jnp.where(mask0, 0.0, w)
+    if vf.vector_type == "3D":
+        return (u, v, w)
+    return (u, v)

@@ -59,8 +59,14 @@ class DataArray:
     def sizes(self):
         return dict(zip(self.dims, self.values.shape))
 
-    def copy(self):
-        return DataArray(self.values.copy(), self.dims, dict(self.attrs), self.name)
+    def copy(self, deep: bool = False):
+        """Metadata copy; values shared unless ``deep`` (xarray's default is
+        also shallow — deep-copying here silently duplicated multi-GB fields
+        on every rename at MOi scale)."""
+        vals = self.values
+        if deep and not getattr(vals, "_parcels_lazy", False):
+            vals = vals.copy()
+        return DataArray(vals, self.dims, dict(self.attrs), self.name)
 
     def rename_dims(self, mapping: Mapping[str, str]):
         return DataArray(

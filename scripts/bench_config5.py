@@ -72,17 +72,17 @@ def measured_hbm_bw(nbytes=2 << 30):
     return 8 * 2 * nbytes / max(elapsed, 1e-9)
 
 
-def build_fieldset(shape):
+def build_fieldset(shape, with_w: bool = False):
     """MOi-shaped fieldset with near-free host data (broadcast zeros); the
     device field arrays are generated on-chip afterwards to keep gigabytes
-    off the (slow) TPU tunnel."""
+    off the (slow) TPU tunnel. ``with_w`` adds vovecrtz (3-D, RK4_3D)."""
     from parcels_tpu import FieldSet
     from parcels_tpu.convert import nemo_to_sgrid
     from parcels_tpu.datasets.moi import moi_like_inputs
 
     tdim, zdim, ydim, xdim = shape
     fields, coords = moi_like_inputs(
-        xdim=xdim, ydim=ydim, zdim=zdim, tdim=tdim, zero_data=True
+        xdim=xdim, ydim=ydim, zdim=zdim, tdim=tdim, zero_data=True, with_w=with_w
     )
     ds = nemo_to_sgrid(fields=fields, coords=coords)
     return FieldSet.from_sgrid_conventions(ds)
@@ -101,22 +101,30 @@ def device_farrays(fs, seed=3):
     for name, f in fs._fields.items():
         if isinstance(f, Field):
             key, k = jax.random.split(key)
+            # vertical velocities are ~1e-4 m/s in the ocean; +-0.3 would
+            # drive the whole batch through the surface within a few steps
+            amp = 3e-5 if name == "W" else 0.3
             farrays["fields"][name] = jax.random.uniform(
-                k, f.data.shape, jnp.float32, -0.3, 0.3
+                k, f.data.shape, jnp.float32, -amp, amp
             )
     object.__setattr__(fs, "_device_cache", farrays)
     return farrays
 
 
-def device_pdata(npart, seed=1, dt=600.0):
+def device_pdata(npart, seed=1, dt=600.0, z_spread: float | None = None):
     import jax
     import jax.numpy as jnp
 
     key = jax.random.PRNGKey(seed)
     kx, ky = jax.random.split(key)
+    if z_spread:
+        kz = jax.random.fold_in(key, 7)
+        z = jax.random.uniform(kz, (npart,), jnp.float32, 1.0, z_spread)
+    else:
+        z = jnp.full(npart, 1.0, jnp.float32)
     return {
         "t": jnp.zeros(npart, jnp.float32),
-        "z": jnp.full(npart, 1.0, jnp.float32),
+        "z": z,
         "y": jax.random.uniform(ky, (npart,), jnp.float32, -60.0, 70.0),
         "x": jax.random.uniform(kx, (npart,), jnp.float32, -170.0, 170.0),
         "dz": jnp.zeros(npart, jnp.float32),
@@ -132,16 +140,21 @@ def device_pdata(npart, seed=1, dt=600.0):
     }
 
 
-def run_bench(fs, npart, steps, dt):
+def run_bench(fs, npart, steps, dt, kernel=None, z_spread=None):
     import jax.numpy as jnp
 
     from parcels_tpu._core.engine import build_chunk_executor
     from parcels_tpu.kernels import AdvectionRK4
     from parcels_tpu.ops.binned_sample import set_z_occupancy_hint
 
-    # all bench lanes sit in the surface z-cell (device_pdata z=1.0)
-    zdim = fs._gridset[0].depth.size
-    set_z_occupancy_hint(1.0 / max(zdim - 1, 1))
+    if kernel is None:
+        kernel = AdvectionRK4
+    if z_spread:
+        set_z_occupancy_hint(1.0)
+    else:
+        # all bench lanes sit in the surface z-cell (device_pdata z=1.0)
+        zdim = fs._gridset[0].depth.size
+        set_z_occupancy_hint(1.0 / max(zdim - 1, 1))
 
     # largest divisor of npart that fits the BLOCK target (the engine maps
     # lanes in equal blocks; transient search/interp memory scales with the
@@ -151,11 +164,11 @@ def run_bench(fs, npart, steps, dt):
     while npart % nblocks:
         nblocks += 1
     executor = build_chunk_executor(
-        (AdvectionRK4,), fs, sign_dt=1, rk45_mode=False, donate=False,
+        (kernel,), fs, sign_dt=1, rk45_mode=False, donate=False,
         block_size=npart // nblocks,
     )
     farrays = device_farrays(fs)
-    pdata0 = device_pdata(npart, dt=dt)
+    pdata0 = device_pdata(npart, dt=dt, z_spread=z_spread)
     pdata = executor(farrays, pdata0, jnp.float32(dt), jnp.float32(dt))
     np.asarray(pdata["t"][:1])  # compile + ei-cache warm, tunnel-safe sync
 
@@ -178,6 +191,70 @@ def run_bench(fs, npart, steps, dt):
 GATHER_BYTES_PER_STEP = (2 * 4 * 2 * 4 + 9 * 4) * 4  # = 400 B, see module docstring
 
 
+def run_streamed(shape, npart, dt, days):
+    """Zarr-backed windowed streaming at scale vs the resident run.
+
+    Writes a random MOi-shaped SGRID dataset to /tmp as zarr (tensorstore),
+    opens it lazily, streams a 2-level window through the PUBLIC execute()
+    path, and reports rate + window_stats (does I/O hide behind compute?).
+    """
+    import shutil
+
+    import numpy as np
+
+    from parcels_tpu import FieldSet, ParticleSet
+    from parcels_tpu.convert import nemo_to_sgrid
+    from parcels_tpu.datasets.moi import moi_like_inputs
+    from parcels_tpu.io import open_zarr_dataset, write_zarr_dataset
+    from parcels_tpu.kernels import AdvectionRK4
+
+    tdim, zdim, ydim, xdim = shape
+    path = "/tmp/bench_c5_stream.zarr"
+    shutil.rmtree(path, ignore_errors=True)
+    fields, coords = moi_like_inputs(xdim=xdim, ydim=ydim, zdim=zdim, tdim=tdim)
+    ds = nemo_to_sgrid(fields=fields, coords=coords)
+    t0 = time.perf_counter()
+    write_zarr_dataset(ds, path)
+    print(f"wrote {path} in {time.perf_counter()-t0:.1f}s", flush=True)
+
+    def seed(fs):
+        rng = np.random.default_rng(4)
+        return ParticleSet(
+            fs,
+            x=rng.uniform(-170, 170, npart),
+            y=rng.uniform(-60, 70, npart),
+            t=np.zeros(npart),
+        )
+
+    results = {}
+    for label, fs in (
+        ("resident", FieldSet.from_sgrid_conventions(ds)),
+        ("streamed", FieldSet.from_sgrid_conventions(open_zarr_dataset(path))),
+    ):
+        if label == "streamed":
+            fs.set_time_window(2)
+        pset = seed(fs)
+        t0 = time.perf_counter()
+        pset.execute(
+            AdvectionRK4,
+            dt=np.timedelta64(int(dt), "s"),
+            runtime=np.timedelta64(days, "D"),
+        )
+        wall = time.perf_counter() - t0
+        steps = days * 86400 / dt
+        rate = npart * steps / wall
+        stats = getattr(fs, "window_stats", None)
+        print(
+            f"{label}: {rate/1e6:6.2f} M particle-steps/s (wall {wall:.1f}s)"
+            + (f" window_stats={stats}" if label == "streamed" and stats else ""),
+            flush=True,
+        )
+        results[label] = rate
+    ratio = results["streamed"] / max(results["resident"], 1e-9)
+    print(f"streaming overhead: streamed/resident = {ratio:.2f}", flush=True)
+    return results
+
+
 def main():
     import jax
 
@@ -198,14 +275,32 @@ def main():
         bw = measured_hbm_bw()
         print(f"measured streamed HBM bandwidth: {bw/1e9:.0f} GB/s", flush=True)
 
+    if os.environ.get("STREAMED"):
+        sshape = tuple(
+            int(s) for s in os.environ.get("STREAM_SHAPE", "6,50,1000,1000").split(",")
+        )
+        run_streamed(sshape, int(os.environ.get("STREAM_N", 2_000_000)), dt,
+                     int(os.environ.get("STREAM_DAYS", 1)))
+        return
+
+    with_w = bool(os.environ.get("W3D"))
+    kernel = None
+    z_spread = None
+    if with_w:
+        from parcels_tpu.kernels import AdvectionRK4_3D
+
+        kernel = AdvectionRK4_3D
+        z_spread = float(os.environ.get("ZSPREAD", 1000.0))
+        print("3-D variant: U,V,W + RK4_3D, z in [1, %g] m" % z_spread, flush=True)
+
     results = {}
     modes = tuple(os.environ.get("MODES", "off,force").split(","))
     for mode in modes:
         os.environ["PARCELS_TPU_SORT_MODE"] = mode
         os.environ["PARCELS_TPU_BINNED"] = mode
-        fs = build_fieldset(shape)
+        fs = build_fieldset(shape, with_w=with_w)
         try:
-            rate, frac = run_bench(fs, npart, steps, dt)
+            rate, frac = run_bench(fs, npart, steps, dt, kernel=kernel, z_spread=z_spread)
         except Exception as e:  # tunnel/worker crashes kill one mode, not the run
             print(f"mode {mode} failed: {type(e).__name__}: {str(e)[:200]}", flush=True)
             continue

@@ -53,7 +53,6 @@ def main():
     farrays = c5.device_farrays(fs)
     grid = fs._gridset[0]
     garrs = farrays["grids"][0]
-    gv = grid.make_view(garrs)
 
     key = jax.random.PRNGKey(1)
     ky, kx = jax.random.split(key)
@@ -62,9 +61,12 @@ def main():
     z = jnp.full((npart,), 1.0, jnp.float32)
     t = jnp.zeros((npart,), jnp.float32)
 
-    # warm ei from one cold search
-    cold = jax.jit(lambda z, y, x: gv.search(z, y, x))
-    g0 = cold(z, y, x)
+    # warm ei from one cold search; garrs as args (see eval_uv note)
+    def cold_fn(garrs, z, y, x):
+        return grid.make_view(garrs).search(z, y, x)
+
+    cold = jax.jit(cold_fn)
+    g0 = cold(garrs, z, y, x)
     spec = grid.spec
     ydim, xdim = max(spec.ydim, 1), max(spec.xdim, 1)
     yi = jnp.clip(g0["Y"]["index"], 0, ydim - 1)
@@ -73,32 +75,38 @@ def main():
     ei = ((zi * ydim + yi) * xdim + xi).astype(jnp.int32)
     jax.block_until_ready(ei)
 
-    warm = jax.jit(lambda z, y, x, ei: gv.search(z, y, x, ei=ei))
-    t_search = timed(warm, z, y, x, ei, reps=reps)
+    def warm_fn(garrs, z, y, x, ei):
+        return grid.make_view(garrs).search(z, y, x, ei=ei)
+
+    warm = jax.jit(warm_fn)
+    t_search = timed(warm, garrs, z, y, x, ei, reps=reps)
     print(f"search (warm-started):        {t_search*1e3:8.1f} ms "
           f"({npart/t_search/1e6:7.1f} M lanes/s)", flush=True)
-    t_cold = timed(cold, z, y, x, reps=reps)
+    t_cold = timed(cold, garrs, z, y, x, reps=reps)
     print(f"search (cold, raster+walk):   {t_cold*1e3:8.1f} ms "
           f"({npart/t_cold/1e6:7.1f} M lanes/s)", flush=True)
 
-    fsview = fs.build_views(farrays)
-    uv = fsview.UV
-
-    def eval_uv(t, z, y, x):
+    def eval_uv(farrays, t, z, y, x):
         # search + C-grid geometry + U/V samples, as one RK stage does
-        # (no particle-state writes: measures the pure compute path)
-        return uv.eval(t, z, y, x)
+        # (no particle-state writes: measures the pure compute path).
+        # farrays passed as ARGUMENTS: closure-captured device arrays bake
+        # into the HLO as constants and blow the remote-compile body limit.
+        fsview = fs.build_views(farrays)
+        return fsview.UV.eval(t, z, y, x)
 
-    t_eval = timed(jax.jit(eval_uv), t, z, y, x, reps=reps)
+    t_eval = timed(jax.jit(eval_uv), farrays, t, z, y, x, reps=reps)
     print(f"C-grid UV eval (cold search): {t_eval*1e3:8.1f} ms "
           f"({npart/t_eval/1e6:7.1f} M lanes/s)", flush=True)
 
     from parcels_tpu._core.engine import build_chunk_executor
     from parcels_tpu.kernels import AdvectionRK4
 
+    nblocks = max(1, -(-npart // 2**22))
+    while npart % nblocks:
+        nblocks += 1
     executor = build_chunk_executor(
         (AdvectionRK4,), fs, sign_dt=1, rk45_mode=False, donate=False,
-        block_size=2**22,
+        block_size=npart // nblocks,
     )
     pdata = c5.device_pdata(npart, dt=600.0)
     warm_out = executor(farrays, pdata, jnp.float32(600.0), jnp.float32(600.0))
