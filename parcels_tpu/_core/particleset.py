@@ -10,6 +10,7 @@ reference's typed exceptions if any particle ends a chunk in an error state.
 
 from __future__ import annotations
 
+import os
 import types
 import warnings
 
@@ -452,12 +453,20 @@ class ParticleSet:
         nchunks = 0
         time = start_time
         try:
+            # cap the steps per device chunk: one unbounded while_loop
+            # program for a whole long run means a single device launch of
+            # minutes, which remote runtimes (and their watchdogs) handle
+            # poorly; the per-chunk host sync is microseconds
+            max_chunk = int(os.environ.get("PARCELS_TPU_MAX_CHUNK_STEPS", 64))
             while sign_dt * (time - end_time) < 0:
                 if next_output is not None:
                     f = min if sign_dt > 0 else max
                     next_time = f(next_output, end_time)
                 else:
                     next_time = end_time
+                if max_chunk > 0 and dt:
+                    f = min if sign_dt > 0 else max
+                    next_time = f(next_time, time + sign_dt * max_chunk * abs(dt))
                 if windowed:
                     f = min if sign_dt > 0 else max
                     next_time = f(next_time, self.fieldset.max_window_endtime(time, sign_dt))
@@ -477,8 +486,18 @@ class ParticleSet:
                     anchor = next_time if sign_dt > 0 else next_time + (next_time - time)
                     (domain or self.fieldset).prefetch_window(anchor)
 
-                states = np.asarray(dev["state"])
-                active = np.asarray(dev["_active"])
+                # device-side 4-byte error predicate: pulling the full (n,)
+                # state/active arrays every chunk costs real wall time at
+                # 10M lanes (and minutes over a degraded TPU tunnel); the
+                # full arrays are fetched only when something actually errs
+                err_any = bool(
+                    np.asarray(
+                        jnp.any(
+                            jnp.asarray(dev["_active"])
+                            & (jnp.asarray(dev["state"]) >= MIN_ERROR_CODE)
+                        )
+                    )
+                )
                 # domain-decomposition diagnostics outrank per-particle state
                 # errors: a halo/buffer breach invalidates the interpolation
                 # that produced those states in the first place
@@ -509,7 +528,10 @@ class ParticleSet:
                             "YBandDomain(halo=...) or reduce dt (halo must "
                             "cover the max per-step displacement in cells)."
                         )
-                self._raise_errors(dev, states, active)
+                if err_any:
+                    self._raise_errors(
+                        dev, np.asarray(dev["state"]), np.asarray(dev["_active"])
+                    )
 
                 if next_output is not None and abs(next_time - next_output) < 1e-3:
                     if output_file:
@@ -522,7 +544,15 @@ class ParticleSet:
                 time = next_time
                 nchunks += 1
 
-                if np.any(active & (states == StatusCode.StopAllExecution)):
+                stop_any = bool(
+                    np.asarray(
+                        jnp.any(
+                            jnp.asarray(dev["_active"])
+                            & (jnp.asarray(dev["state"]) == StatusCode.StopAllExecution)
+                        )
+                    )
+                )
+                if stop_any:
                     break
         finally:
             if pbar is not None:
