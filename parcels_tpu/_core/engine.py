@@ -323,10 +323,12 @@ def engine_step(
 
     for f in kernel_fns:
         # the C-grid cell cache must not cross kernel-call boundaries
-        # (semantics AND trace-scope: its tracers belong to one region)
+        # (semantics AND trace-scope: its tracers belong to one region);
+        # its final entries persist across steps via the SoA (flush)
         stagecache.reset(fsview)
         view = Particles(pd, eval_mask, sorted_hint, lockstep_w, z_occ)
         f(view, fsview)
+        stagecache.flush(fsview, pd)
         stagecache.reset(fsview)
 
         def rcond(pdd):
@@ -340,6 +342,7 @@ def engine_step(
                 z_occ_hint=z_occ,
             )
             f(rview, fsview)
+            stagecache.flush(fsview, pdd)
             stagecache.reset(fsview)
             return pdd
 

@@ -395,6 +395,16 @@ class ParticleSet:
         rk45_mode = "RK45_tol" in self.fieldset.context
         lockstep_w = self._lockstep_window(dt, rk45_mode, tuple(kernels))
         z_occ = self._set_sampler_occupancy_hint()
+
+        # persistent C-grid cell cache (ops/stagecache.py): inject the SoA
+        # columns before padding/sharding so every execution path carries them
+        from parcels_tpu.ops import stagecache as _sc
+
+        sc_ok, sc_w = _sc.soa_cache_applicable(self.fieldset)
+        if sc_ok and _sc.SC_KEY not in self._data:
+            self._data.update(
+                _sc.make_soa_cache(np.asarray(self._data["state"]).shape[0], sc_w)
+            )
         pmesh = getattr(self, "_pmesh", None)
         domain = getattr(self, "_domain", None)
         windowed = self.fieldset._time_window is not None
@@ -468,6 +478,9 @@ class ParticleSet:
                     f = min if sign_dt > 0 else max
                     next_time = f(next_time, time + sign_dt * max_chunk * abs(dt))
                 if windowed:
+                    # the persistent cell cache holds face values of the
+                    # PREVIOUS window's data: invalidate at window rollover
+                    dev = _sc.invalidate_soa_cache(dev)
                     f = min if sign_dt > 0 else max
                     next_time = f(next_time, self.fieldset.max_window_endtime(time, sign_dt))
                     if domain is not None:

@@ -86,6 +86,140 @@ def reset(fsview) -> None:
 
 
 # ---------------------------------------------------------------------------
+# cross-step persistence: the cache lives on in the particle SoA
+# ---------------------------------------------------------------------------
+#
+# The kernel-invocation cache makes RK stages 2-4 gather-free, but stage 1
+# of every step still runs the full search+gather pass — even though in
+# steady state the particle is still in LAST step's cell. Persisting the
+# cache columns in the SoA (all 4-byte lanes: sortable, migratable,
+# checkpointable) lets stage 1 start from the previous step's entries, so
+# full passes happen only for the few lanes that crossed a cell per step.
+# The ParticleSet injects these variables before a run when the fieldset
+# qualifies; the engine flushes the final kernel-call cache back after each
+# kernel. Windowed chunks invalidate the key between chunks (the cached
+# face values refer to the previous window's data); curvilinear band
+# migration invalidates sent lanes (their cell index is band-local).
+
+SC_KEY = "_sc_key"  # (n, 4) i32: [cell | -1, ti, zi, wzi]
+# Only the key and the face-value quads persist (64 B/lane at 10M lanes =
+# 0.64 GB): the pic/geometry rows are re-gathered from their tables by the
+# cached cell at stage 1 (2 row-takes/step vs the full search+gather pass;
+# persisting them too cost 1.6 GB and tipped the full config-5 shape into
+# HBM exhaustion).
+SC_ARRAYS = {"_sc_u4": 4, "_sc_v4": 4}
+SC_W = "_sc_w4"  # (n, 4) f32, only for 3-D (UVW) fieldsets
+
+
+def soa_cache_applicable(fieldset):
+    """Host-side: does this fieldset qualify for the persistent cache?
+
+    Returns (applicable, has_w) for the first curvilinear C-grid vector
+    field (the advection workhorse; UV and UVW share U/V components).
+    """
+    from parcels_tpu._core.field import VectorField
+    from parcels_tpu.interpolators.xinterp import CGrid_Velocity
+
+    mode = _mode()
+    if mode in ("0", "off"):
+        return False, False
+    if mode != "force" and jax.default_backend() in ("cpu",):
+        return False, False
+    has_w = False
+    found = False
+    for f in fieldset.fields.values():
+        if (
+            isinstance(f, VectorField)
+            and isinstance(f.interp_method, CGrid_Velocity)
+            and f.grid.spec.curvilinear
+        ):
+            found = True
+            has_w = has_w or f.W is not None
+    return found, has_w
+
+
+def make_soa_cache(n: int, has_w: bool) -> dict:
+    """Fresh (invalid) cache columns for ``n`` lanes (host numpy)."""
+    import numpy as np
+
+    out = {SC_KEY: np.full((n, 4), -1, dtype=np.int32)}
+    for k, w in SC_ARRAYS.items():
+        out[k] = np.zeros((n, w), dtype=np.float32)
+    if has_w:
+        out[SC_W] = np.zeros((n, 4), dtype=np.float32)
+    return out
+
+
+def make_soa_cache_device(n: int, has_w: bool) -> dict:
+    """Device-resident twin of make_soa_cache (benches keep GBs off the
+    host->device tunnel by allocating the SoA on-chip)."""
+    out = {SC_KEY: jnp.full((n, 4), -1, dtype=jnp.int32)}
+    for k, w in SC_ARRAYS.items():
+        out[k] = jnp.zeros((n, w), dtype=jnp.float32)
+    if has_w:
+        out[SC_W] = jnp.zeros((n, 4), dtype=jnp.float32)
+    return out
+
+
+def invalidate_soa_cache(dev: dict) -> dict:
+    """Mark every lane's persistent cache invalid (windowed chunk rollover)."""
+    if SC_KEY in dev:
+        dev = dict(dev)
+        dev[SC_KEY] = jnp.asarray(dev[SC_KEY]).at[:, 0].set(-1)
+    return dev
+
+
+def _load_soa_cache(particles, vf):
+    pd = particles._data
+    garrs = vf.grid.garrs
+    key = pd[SC_KEY]
+    cell = jnp.maximum(key[:, 0], 0)
+    # the pic/geometry rows are not persisted: re-gather them by the cached
+    # cell (2 row-takes — stage 1's only gathers on the all-hit path)
+    row = jnp.take(
+        garrs["pic_table"].reshape(-1, index_search.PIC_TABLE_COLS), cell, axis=0
+    )
+    geom = jnp.take(garrs["cgrid_geom"], cell, axis=0)
+    cx = max(vf.grid.spec.xdim, 1)
+    # zeros derived from varying inputs (zeros_like) so the cache pytree has
+    # consistent varying-manual-axes under shard_map (cf. engine walk carry)
+    return {
+        "cell": key[:, 0],
+        "ti": key[:, 1],
+        "zi": key[:, 2],
+        "wzi": key[:, 3],
+        "yi": (cell // cx).astype(jnp.int32),
+        "xi": (cell % cx).astype(jnp.int32),
+        "row": row,
+        "geom": geom,
+        "u4": pd["_sc_u4"],
+        "v4": pd["_sc_v4"],
+        "w4": pd.get(SC_W) if vf.W is not None else None,
+        "esc": jnp.zeros_like(key[:, 0]),
+        "oob": jnp.zeros_like(key[:, 0], dtype=bool),
+    }
+
+
+def flush(fsview, pd) -> None:
+    """Write each view's final kernel-call cache back into the SoA
+    (engine: after every kernel call). All-lane writes: entries for
+    non-evaluated lanes were loaded unchanged from the SoA."""
+    if SC_KEY not in pd:
+        return
+    for v in fsview._views.values():
+        c = getattr(v, "_stage_cache", None)
+        if c is None:
+            continue
+        pd[SC_KEY] = jnp.stack(
+            [c["cell"], c["ti"], c["zi"], c["wzi"]], axis=1
+        ).astype(jnp.int32)
+        pd["_sc_u4"] = c["u4"]
+        pd["_sc_v4"] = c["v4"]
+        if c["w4"] is not None and SC_W in pd:
+            pd[SC_W] = c["w4"]
+
+
+# ---------------------------------------------------------------------------
 # face-value quads
 # ---------------------------------------------------------------------------
 
@@ -365,8 +499,23 @@ def cgrid_cached_eval(vf, t, z, y, x, particles):
         )
     z_oob = zi_raw < 0
 
+    # hoist the corner-column tables into the MAIN trace scope: the first
+    # col_table() call must not happen inside a lax.cond branch (the cached
+    # table tracer would escape its scope when another branch reuses it)
+    from parcels_tpu.ops.colgather import colgather_usable
+
+    if jax.default_backend() not in ("cpu",):
+        for comp in (vf.U, vf.V, vf.W):
+            if comp is not None and colgather_usable(comp.data.shape):
+                comp.col_table()
+
     c = vf._stage_cache
     n = y.shape[0]
+
+    if c is None and particles is not None and SC_KEY in particles._data:
+        # cross-step persistence: stage 1 starts from LAST step's cache
+        # (steady state: the particle is still in yesterday's cell)
+        c = _load_soa_cache(particles, vf)
 
     if c is None:
         # first eval of this kernel invocation: full batch

@@ -673,6 +673,10 @@ def _migrate_curvilinear(pd: dict, dom: "YBandDomain", axis: str, n_dev: int, ca
                 cols.append(col)
             buf = dict(buf)
             buf["ei"] = jnp.stack(cols, axis=1)
+            if "_sc_key" in buf:
+                # the persistent cell cache's cell index is band-local:
+                # invalidate for migrated lanes (ops/stagecache.py)
+                buf["_sc_key"] = buf["_sc_key"].at[:, 0].set(-1)
             return buf
 
         return on_send

@@ -169,6 +169,13 @@ def run_bench(fs, npart, steps, dt, kernel=None, z_spread=None):
     )
     farrays = device_farrays(fs)
     pdata0 = device_pdata(npart, dt=dt, z_spread=z_spread)
+    # persistent C-grid cell cache columns (the public execute() injects
+    # these; the bench drives the executor directly)
+    from parcels_tpu.ops import stagecache as _sc
+
+    sc_ok, sc_w = _sc.soa_cache_applicable(fs)
+    if sc_ok:
+        pdata0.update(_sc.make_soa_cache_device(npart, sc_w))
     pdata = executor(farrays, pdata0, jnp.float32(dt), jnp.float32(dt))
     np.asarray(pdata["t"][:1])  # compile + ei-cache warm, tunnel-safe sync
 
