@@ -123,6 +123,12 @@ def soa_cache_applicable(fieldset):
     mode = _mode()
     if mode in ("0", "off"):
         return False, False
+    # memory escape hatch: 64 B/lane of SoA columns is the difference
+    # between fitting and HBM exhaustion for 3-D forcing at the full
+    # config-5 shape on one 16 GB chip (the kernel-invocation cache alone
+    # still runs; banded multi-chip runs fit either way)
+    if os.environ.get("PARCELS_TPU_STAGECACHE_PERSIST", "1") in ("0", "off"):
+        return False, False
     if mode != "force" and jax.default_backend() in ("cpu",):
         return False, False
     has_w = False

@@ -7,7 +7,6 @@ materialization), and describe() surfaces the total.
 
 import io
 
-import numpy as np
 import pytest
 
 from parcels_tpu import FieldSet

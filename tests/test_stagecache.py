@@ -7,7 +7,7 @@ error escalation, on hits AND on the compacted miss fix-up path.
 import numpy as np
 import pytest
 
-from parcels_tpu import FieldSet, ParticleSet
+from parcels_tpu import ParticleSet
 from parcels_tpu.datasets import moi_like_fieldset
 from parcels_tpu.kernels import AdvectionRK4, AdvectionRK4_3D
 
