@@ -199,10 +199,10 @@ class FieldView:
 class VectorFieldView:
     __slots__ = (
         "name", "U", "V", "W", "grid", "igrid", "interp_method", "vector_type",
-        "_stage_cache",
+        "_stage_cache", "_sc_owner",
     )
 
-    def __init__(self, name, U, V, W, interp_method):
+    def __init__(self, name, U, V, W, interp_method, sc_owner=False):
         self.name = name
         self.U = U
         self.V = V
@@ -214,6 +214,9 @@ class VectorFieldView:
         # per-kernel-invocation cell cache (ops/stagecache.py); the engine
         # resets it before every kernel call
         self._stage_cache = None
+        # is this view the designated owner of the persistent SoA cache
+        # columns (stagecache.soa_cache_owner)? static per trace
+        self._sc_owner = bool(sc_owner)
 
     def eval(self, t, z, y, x, particles: Particles | None = None):
         from parcels_tpu.ops import stagecache

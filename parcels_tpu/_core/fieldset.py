@@ -649,6 +649,9 @@ class FieldSet:
                 views[name] = FieldView(
                     name, farrays["fields"][name], grid_views[f.igrid], f.igrid, f.interp_method, has_time
                 )
+        from parcels_tpu.ops.stagecache import soa_cache_owner
+
+        sc_owner, _ = soa_cache_owner(self)
         for name, f in self._fields.items():
             if isinstance(f, VectorField):
                 views[name] = VectorFieldView(
@@ -657,6 +660,7 @@ class FieldSet:
                     views[f.V.name],
                     views[f.W.name] if f.W is not None else None,
                     f.interp_method,
+                    sc_owner=(name == sc_owner),
                 )
         return FieldSetView(views, dict(self.context))
 

@@ -160,17 +160,38 @@ class ParticleSet:
         lanes of both sets are dropped during the merge."""
         if not isinstance(other, ParticleSet):
             raise TypeError(f"Can only add another ParticleSet, got {type(other)}")
-        if set(self._data) != set(other._data):
+
+        # engine-internal persistent-cache columns (ops/stagecache.py _sc_*)
+        # are injected by execute(); a set that has not executed yet lacks
+        # them. They are not particle variables: exclude them from the
+        # compatibility check and concat fresh invalid entries where missing.
+        def _vars(d):
+            return {k for k in d if not k.startswith("_sc_")}
+
+        if _vars(self._data) != _vars(other._data):
             raise ValueError("ParticleSets have different particle variables.")
         merged = {}
         a1 = np.asarray(self._data["_active"])
         a2 = np.asarray(other._data["_active"])
-        for k, v in self._data.items():
-            v1, v2 = np.asarray(v), np.asarray(other._data[k])
+
+        def _sc_fill(k, n, like):
+            if k == "_sc_key":
+                return np.full((n,) + like.shape[1:], -1, dtype=like.dtype)
+            return np.zeros((n,) + like.shape[1:], dtype=like.dtype)
+
+        for k in set(self._data) | set(other._data):
             if k == "_rng":
-                merged[k] = v1
+                merged[k] = np.asarray(self._data[k])
+                continue
+            if k in self._data:
+                v1 = np.asarray(self._data[k])[a1]
             else:
-                merged[k] = np.concatenate([v1[a1], v2[a2]], axis=0)
+                v1 = _sc_fill(k, int(a1.sum()), np.asarray(other._data[k]))
+            if k in other._data:
+                v2 = np.asarray(other._data[k])[a2]
+            else:
+                v2 = _sc_fill(k, int(a2.sum()), np.asarray(self._data[k]))
+            merged[k] = np.concatenate([v1, v2], axis=0)
         self._data = merged
         return self
 
@@ -715,7 +736,9 @@ class ParticleSet:
                 out[k] = v
                 continue
             fill = np.zeros((pad,) + v.shape[1:], dtype=v.dtype)
-            if k == "particle_id":
+            if k in ("particle_id", "_sc_key"):
+                # -1 sentinels: padded lanes must never look like live ids
+                # or valid persistent-cache cells (cell 0 is real)
                 fill = fill - 1
             out[k] = np.concatenate([v, fill], axis=0)
         out["_active"][n:] = False

@@ -111,37 +111,52 @@ SC_ARRAYS = {"_sc_u4": 4, "_sc_v4": 4}
 SC_W = "_sc_w4"  # (n, 4) f32, only for 3-D (UVW) fieldsets
 
 
-def soa_cache_applicable(fieldset):
-    """Host-side: does this fieldset qualify for the persistent cache?
+def soa_cache_owner(fieldset):
+    """Host-side: the single vector field that OWNS the persistent cache.
 
-    Returns (applicable, has_w) for the first curvilinear C-grid vector
-    field (the advection workhorse; UV and UVW share U/V components).
+    The SoA columns (_sc_key/_sc_u4/...) hold one field's face values; a
+    second C-grid vector field reading them would blend the wrong data
+    into its velocities, so exactly one designated owner may load/flush
+    them (other qualifying fields still get the per-kernel-invocation
+    cache). Preference order: the first 3-D (UVW) curvilinear C-grid
+    vector field (the advection workhorse — its W column rides the cache),
+    else the first 2-D one. Returns (registered_name | None, has_w).
     """
     from parcels_tpu._core.field import VectorField
     from parcels_tpu.interpolators.xinterp import CGrid_Velocity
 
     mode = _mode()
     if mode in ("0", "off"):
-        return False, False
+        return None, False
     # memory escape hatch: 64 B/lane of SoA columns is the difference
     # between fitting and HBM exhaustion for 3-D forcing at the full
     # config-5 shape on one 16 GB chip (the kernel-invocation cache alone
     # still runs; banded multi-chip runs fit either way)
     if os.environ.get("PARCELS_TPU_STAGECACHE_PERSIST", "1") in ("0", "off"):
-        return False, False
+        return None, False
     if mode != "force" and jax.default_backend() in ("cpu",):
-        return False, False
-    has_w = False
-    found = False
-    for f in fieldset.fields.values():
+        return None, False
+    owner = None
+    for name, f in fieldset.fields.items():
         if (
             isinstance(f, VectorField)
             and isinstance(f.interp_method, CGrid_Velocity)
             and f.grid.spec.curvilinear
         ):
-            found = True
-            has_w = has_w or f.W is not None
-    return found, has_w
+            if f.W is not None:
+                return name, True
+            owner = owner or name
+    return owner, False
+
+
+def soa_cache_applicable(fieldset):
+    """Host-side: does this fieldset qualify for the persistent cache?
+
+    Returns (applicable, has_w) for the designated owner vector field
+    (see soa_cache_owner).
+    """
+    owner, has_w = soa_cache_owner(fieldset)
+    return owner is not None, has_w
 
 
 def make_soa_cache(n: int, has_w: bool) -> dict:
@@ -207,12 +222,16 @@ def _load_soa_cache(particles, vf):
 
 
 def flush(fsview, pd) -> None:
-    """Write each view's final kernel-call cache back into the SoA
+    """Write the OWNER view's final kernel-call cache back into the SoA
     (engine: after every kernel call). All-lane writes: entries for
-    non-evaluated lanes were loaded unchanged from the SoA."""
+    non-evaluated lanes were loaded unchanged from the SoA. Only the
+    designated owner flushes — another C-grid vector field's cache holds
+    different face values and must never land in the shared columns."""
     if SC_KEY not in pd:
         return
     for v in fsview._views.values():
+        if not getattr(v, "_sc_owner", False):
+            continue
         c = getattr(v, "_stage_cache", None)
         if c is None:
             continue
@@ -518,9 +537,15 @@ def cgrid_cached_eval(vf, t, z, y, x, particles):
     c = vf._stage_cache
     n = y.shape[0]
 
-    if c is None and particles is not None and SC_KEY in particles._data:
+    if (
+        c is None
+        and particles is not None
+        and SC_KEY in particles._data
+        and getattr(vf, "_sc_owner", False)
+    ):
         # cross-step persistence: stage 1 starts from LAST step's cache
-        # (steady state: the particle is still in yesterday's cell)
+        # (steady state: the particle is still in yesterday's cell).
+        # Owner-only: the SoA columns hold ONE field's face values.
         c = _load_soa_cache(particles, vf)
 
     if c is None:

@@ -465,6 +465,9 @@ class YBandDomain:
                     f.interp_method,
                     has_time,
                 )
+        from parcels_tpu.ops.stagecache import soa_cache_owner
+
+        sc_owner, _ = soa_cache_owner(self.fieldset)
         for name, f in self.fieldset.fields.items():
             if isinstance(f, VectorField):
                 views[name] = VectorFieldView(
@@ -473,6 +476,7 @@ class YBandDomain:
                     views[f.V.name],
                     views[f.W.name] if f.W is not None else None,
                     f.interp_method,
+                    sc_owner=(name == sc_owner),
                 )
         return FieldSetView(views, dict(self.fieldset.context))
 
@@ -533,7 +537,9 @@ class YBandDomain:
                 out[k] = self._put(np.asarray(jax.random.key_data(keys)), 2)
                 continue
             buf = np.zeros((n * L,) + v.shape[1:], dtype=v.dtype)
-            if k == "particle_id":
+            if k in ("particle_id", "_sc_key"):
+                # -1 sentinels: padded lanes must never look like live ids
+                # or valid persistent-cache cells (cell 0 is real)
                 buf -= 1
             for b in range(n):
                 rows = order[offs[b] : offs[b + 1]]

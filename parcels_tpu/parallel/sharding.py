@@ -91,7 +91,9 @@ class ParticleMesh:
                 continue
             if pad:
                 fill = np.zeros((pad,) + v.shape[1:], dtype=v.dtype)
-                if k == "particle_id":
+                if k in ("particle_id", "_sc_key"):
+                    # -1 sentinels: padded lanes must never look like live
+                    # ids or valid persistent-cache cells (cell 0 is real)
                     fill = fill - 1
                 v = np.concatenate([v, fill], axis=0)
             if k == "_active" and pad:

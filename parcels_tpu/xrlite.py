@@ -60,9 +60,14 @@ class DataArray:
         return dict(zip(self.dims, self.values.shape))
 
     def copy(self, deep: bool = False):
-        """Metadata copy; values shared unless ``deep`` (xarray's default is
-        also shallow — deep-copying here silently duplicated multi-GB fields
-        on every rename at MOi scale)."""
+        """Metadata copy; values shared unless ``deep``.
+
+        DELIBERATE DIVERGENCE from xarray: ``xr.DataArray.copy`` defaults to
+        ``deep=True``; here the default is shallow because deep-copying
+        silently duplicated multi-GB fields on every rename at MOi scale.
+        Callers must not mutate ``.values`` in place after a default copy —
+        in-repo call sites reassign instead. Pass ``deep=True`` for xarray
+        semantics."""
         vals = self.values
         if deep and not getattr(vals, "_parcels_lazy", False):
             vals = vals.copy()
