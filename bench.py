@@ -183,7 +183,7 @@ def bench_numpy_reference_style(npart: int, steps: int, dt: float = 60.0) -> flo
     return npart * steps / elapsed
 
 
-def bench_config5_shaped() -> float:
+def bench_config5_shaped() -> tuple:
     """Config-5-shaped rate: curvilinear MOi-like C-grid RK4 (auto mode).
 
     Small enough for the driver's window (2M lanes, (2,50,1000,1000) ~
@@ -191,6 +191,10 @@ def bench_config5_shaped() -> float:
     search + C-grid velocity + HBM-scale sampling. The full-shape runs live
     in scripts/bench_config5.py; this keeps the driver history tracking the
     metric that matters (VERDICT r2 weak #3).
+
+    Returns (rate, hbm_bw): rate in particle-steps/s, plus the chip's own
+    measured streamed HBM bandwidth so the JSON line can carry the
+    %-of-roofline figure (VERDICT r3 #8).
     """
     import sys
 
@@ -202,9 +206,10 @@ def bench_config5_shaped() -> float:
     )
     npart = int(os.environ.get("PARCELS_BENCH_C5_NPART", 2_000_000))
     steps = int(os.environ.get("PARCELS_BENCH_C5_STEPS", 6))
+    bw = c5.measured_hbm_bw()
     fs = c5.build_fieldset(shape)
     rate, _ = c5.run_bench(fs, npart, steps, 600.0)
-    return rate
+    return rate, bw
 
 
 def main():
@@ -231,7 +236,12 @@ def main():
     # the measured reference-architecture NumPy rate, which is an EASIER
     # workload than this curvilinear C-grid one, so the ratio is conservative)
     try:
-        c5_rate = bench_config5_shaped()
+        c5_rate, hbm_bw = bench_config5_shaped()
+        # min-traffic model: 400 B/particle-step for C-grid RK4 with the
+        # geometry table (scripts/bench_config5.py module docstring); the
+        # roofline share tracks the perf-depth gap round over round
+        from bench_config5 import GATHER_BYTES_PER_STEP
+
         print(
             json.dumps(
                 {
@@ -240,6 +250,11 @@ def main():
                     "value": round(c5_rate, 1),
                     "unit": "particle-steps/s",
                     "vs_baseline": round(c5_rate / base_rate, 2),
+                    "bytes_per_step_model": GATHER_BYTES_PER_STEP,
+                    "hbm_bw_measured_GBps": round(hbm_bw / 1e9, 1),
+                    "pct_hbm_roofline": round(
+                        100.0 * c5_rate * GATHER_BYTES_PER_STEP / hbm_bw, 2
+                    ),
                 }
             ),
             flush=True,

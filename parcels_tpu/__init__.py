@@ -24,6 +24,7 @@ from parcels_tpu._core.fieldset import FieldSet
 from parcels_tpu._core.grid import XGrid
 from parcels_tpu._core.uxgrid import UxGrid
 from parcels_tpu._core.mesh import EARTH_RADIUS, FlatMesh, SphericalMesh, get_mesh
+from parcels_tpu._core.options import EngineOptions
 from parcels_tpu._core.particle import Particle, ParticleClass, Variable, get_default_particle
 from parcels_tpu._core.particlefile import ParticleFile, read_particlefile
 from parcels_tpu._core.particleset import ParticleSet
@@ -94,6 +95,7 @@ __all__ = [
     "CGrid_Tracer",
     "CGrid_Velocity",
     "DiffusionUniformKh",
+    "EngineOptions",
     "Field",
     "FieldEvalWarning",
     "FieldInterpolationError",

@@ -253,6 +253,19 @@ def build_chunk_executor(
     return jax.jit(chunk, donate_argnums=donate_argnums)
 
 
+def rk45_chunk_start_dt(fsview, pdata, sign_dt):
+    """Chunk-start dt for RK45 mode: restore from next_dt, floored at
+    RK45_min_dt (reference kernel.py:119-120 restores dt = next_dt every
+    iteration). A lane that landed on the previous chunk's endtime had its
+    dt clamped toward 0 by the per-step landing clamp; re-entering a chunk
+    with that leftover (possibly 0) dt would evaluate zero-length steps,
+    and a dt below the f32 ulp of t freezes the lane via the stuck-guard.
+    Shared by the single-device block runner and the domain executor."""
+    min_dt = jnp.abs(jnp.asarray(fsview.RK45_min_dt, dtype=pdata["next_dt"].dtype))
+    nd = pdata["next_dt"]
+    return jnp.where(jnp.abs(nd) < min_dt, min_dt * sign_dt, nd).astype(pdata["dt"].dtype)
+
+
 def compute_loop_masks(pd, endtime, sign_dt):
     """(busy, halt) lane masks driving the chunk while-loop condition."""
     st = pd["state"]
@@ -273,6 +286,8 @@ def _run_block(
     pdata["state"] = jnp.where(
         pdata["_active"], jnp.int32(StatusCode.Evaluate), pdata["state"]
     )
+    if rk45_mode:
+        pdata["dt"] = rk45_chunk_start_dt(fsview, pdata, sign_dt)
     if resort is not None:
         pdata["_it"] = jnp.int32(0)
 
@@ -374,8 +389,15 @@ def engine_step(
     uview.dy = jnp.zeros_like(pd["dy"])
     uview.dz = jnp.zeros_like(pd["dz"])
     if rk45_mode:
-        # dt may have been increased by the RK45 kernel
-        uview.dt = pd["next_dt"]
+        # dt may have been increased by the RK45 kernel. Floor at
+        # RK45_min_dt (the kernel's own documented floor): at an endtime
+        # landing the kernel saw the CLAMPED dt (can be arbitrarily small,
+        # even 0) and derived next_dt from it — carrying that below min_dt
+        # into the next chunk leaves t+dt == t in f32, and the stuck-guard
+        # below would then freeze the lane at the chunk boundary forever.
+        min_dt = jnp.abs(jnp.asarray(fsview.RK45_min_dt, dtype=pd["next_dt"].dtype))
+        nd = pd["next_dt"]
+        uview.dt = jnp.where(jnp.abs(nd) < min_dt, min_dt * sign_dt, nd)
     else:
         # revert to the nominal dt (reference kernel.py:227-228)
         pd["dt"] = jnp.broadcast_to(dt0, pd["dt"].shape).astype(pd["dt"].dtype)

@@ -374,13 +374,37 @@ class ParticleSet:
         runtime=None,
         output_file=None,
         verbose_progress: bool = False,
+        options=None,
     ):
         """Run the kernel chain over the particle set until endtime/runtime.
 
         Mirrors reference ParticleSet.execute (particleset.py:354-469): the
         outer loop advances output-interval chunks; each chunk is one call
-        into the jitted device engine.
+        into the jitted device engine. ``options`` is an
+        :class:`~parcels_tpu.EngineOptions` selecting engine modes
+        (sampler, colgather, stage cache, chunk cap) programmatically;
+        explicitly-set ``PARCELS_TPU_*`` env vars override it.
         """
+        from parcels_tpu._core.options import EngineOptions
+
+        opts = options if options is not None else EngineOptions()
+        if not isinstance(opts, EngineOptions):
+            raise TypeError(f"options must be an EngineOptions. Got {type(opts)}")
+        with opts.applied():
+            return self._execute_impl(
+                kernels, dt, endtime, runtime, output_file, verbose_progress, opts
+            )
+
+    def _execute_impl(
+        self,
+        kernels,
+        dt,
+        endtime,
+        runtime,
+        output_file,
+        verbose_progress,
+        opts,
+    ):
         if len(self) == 0:
             return
 
@@ -432,7 +456,10 @@ class ParticleSet:
         if domain is not None:
             from parcels_tpu.parallel.domain import build_domain_executor
 
-            key = (tuple(kernels), sign_dt, rk45_mode, "domain", lockstep_w, id(domain))
+            key = (
+                tuple(kernels), sign_dt, rk45_mode, "domain", lockstep_w, id(domain),
+                opts.resolved_key(),
+            )
             cache = self.fieldset._executor_cache
             if key not in cache:
                 cache[key] = build_domain_executor(
@@ -445,14 +472,14 @@ class ParticleSet:
         elif pmesh is not None:
             executor = self._get_executor(
                 tuple(kernels), sign_dt, rk45_mode, blocked=False, lockstep_w=lockstep_w,
-                z_occ=z_occ,
+                z_occ=z_occ, okey=opts.resolved_key(),
             )
             farrays = None if windowed else pmesh.shard_fields(self.fieldset.device_arrays())
             dev = pmesh.shard_soa(self._data)
         else:
             executor = self._get_executor(
                 tuple(kernels), sign_dt, rk45_mode, blocked=True, lockstep_w=lockstep_w,
-                z_occ=z_occ,
+                z_occ=z_occ, okey=opts.resolved_key(),
             )
             from parcels_tpu._core.engine import DEFAULT_BLOCK_SIZE, _sort_mode_enabled
 
@@ -879,9 +906,9 @@ class ParticleSet:
 
     def _get_executor(
         self, kernels: tuple, sign_dt: int, rk45_mode: bool, blocked: bool = True,
-        lockstep_w: int = 0, z_occ: float = 1.0,
+        lockstep_w: int = 0, z_occ: float = 1.0, okey: tuple = (),
     ):
-        key = (kernels, sign_dt, rk45_mode, blocked, lockstep_w, z_occ, id(self._pclass))
+        key = (kernels, sign_dt, rk45_mode, blocked, lockstep_w, z_occ, id(self._pclass), okey)
         cache = self.fieldset._executor_cache
         if key not in cache:
             # donate=False keeps pre-chunk snapshots valid for the async

@@ -126,14 +126,13 @@ def open_remote_dataset(name: str, purpose: Literal["testing", "tutorial", "any"
     cached = _data_home() / name
     for candidate in (cached, cached.with_suffix(".nc"), cached.with_suffix(".zarr")):
         if candidate.exists():
-            from parcels_tpu.io.zarrstore import open_zarr_lazy
-
             if candidate.suffix == ".zarr" or candidate.is_dir():
-                return open_zarr_lazy(candidate)
-            raise ValueError(
-                f"Found cached file {candidate}, but NetCDF reading requires netCDF4 "
-                "(install extras: parcels-tpu[io])."
-            )
+                from parcels_tpu.io import open_zarr_dataset
+
+                return open_zarr_dataset(candidate)
+            from parcels_tpu.io import open_netcdf_dataset
+
+            return open_netcdf_dataset(candidate)
 
     if name in _LOCAL_EQUIVALENTS:
         import warnings

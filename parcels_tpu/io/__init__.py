@@ -7,6 +7,10 @@ JAX ecosystem — feeding the same rolling time-window device streaming
 (`FieldSet.set_time_window`).
 """
 
+from parcels_tpu.io.netcdfstore import (
+    open_netcdf_dataset,
+    write_netcdf_dataset,
+)
 from parcels_tpu.io.zarrstore import (
     LazyZarrArray,
     open_raw_zarr,
@@ -14,4 +18,11 @@ from parcels_tpu.io.zarrstore import (
     write_zarr_dataset,
 )
 
-__all__ = ["LazyZarrArray", "open_raw_zarr", "open_zarr_dataset", "write_zarr_dataset"]
+__all__ = [
+    "LazyZarrArray",
+    "open_netcdf_dataset",
+    "open_raw_zarr",
+    "open_zarr_dataset",
+    "write_netcdf_dataset",
+    "write_zarr_dataset",
+]

@@ -113,7 +113,9 @@ def AdvectionRK45(particles, fieldset):
     (reference kernels/_advection.py:85-156).
     """
     dt = particles.dt
-    sign_dt = jnp.sign(dt)
+    # not jnp.sign: a dt clamped to exactly 0 at an endtime landing would
+    # make sign 0 and poison the min_dt floors below into permanent zeros
+    sign_dt = jnp.where(dt < 0, -1.0, 1.0)
 
     us = []
     vs = []

@@ -746,6 +746,10 @@ def build_domain_executor(
             pd["state"] = jnp.where(
                 pd["_active"], jnp.int32(StatusCode.Evaluate), pd["state"]
             )
+            if rk45_mode:
+                from parcels_tpu._core.engine import rk45_chunk_start_dt
+
+                pd["dt"] = rk45_chunk_start_dt(fsview, pd, sign_dt)
 
             def cond(pd):
                 busy, halt = compute_loop_masks(pd, endtime, sign_dt)

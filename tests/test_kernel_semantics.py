@@ -108,6 +108,45 @@ def test_kernel_list_with_noncallable_errors():
                      runtime=np.timedelta64(1, "s"))
 
 
+def test_rk45_multichunk_no_dt_freeze():
+    """RK45 across many internal engine chunks (regression, round 4).
+
+    A lane landing on a chunk endtime had its dt clamped toward 0; the
+    zero survived into the next chunk, where either the stuck-guard froze
+    the lane permanently (t+dt == t in f32) or zero-length steps dropped
+    displacement while t advanced. The fix restores dt from next_dt
+    (floored at RK45_min_dt) at every chunk start, as the reference does
+    per-iteration (reference kernel.py:119-120)."""
+    import os
+
+    from parcels_tpu.kernels import AdvectionRK45
+
+    ds = simple_UV_dataset(dims=(2, 2, 32, 32), mesh="flat")
+    ds["U"].values[:] = 2.0
+    ds["V"].values[:] = 10.0
+    fs = FieldSet.from_sgrid_conventions(ds, mesh="flat")
+    fs.add_context("RK45_tol", 1e-4)
+    fs.add_context("RK45_min_dt", 10)
+    fs.add_context("RK45_max_dt", 3600)
+    pclass = Particle.add_variable(
+        Variable("next_dt", dtype=np.float64, initial=600.0, to_write=False)
+    )
+    rng = np.random.default_rng(21)
+    n = 16
+    x = rng.uniform(-9e5, 6e5, n)
+    y = rng.uniform(-9e5, -5e5, n)
+    pset = ParticleSet(fs, pclass=pclass, x=x.copy(), y=y.copy(), t=np.zeros(n))
+    assert int(os.environ.get("PARCELS_TPU_MAX_CHUNK_STEPS", 64)) * 600 < 86400, (
+        "the run must span multiple internal chunks to regression-test this"
+    )
+    pset.execute(
+        AdvectionRK45, dt=np.timedelta64(600, "s"), runtime=np.timedelta64(86400, "s")
+    )
+    np.testing.assert_allclose(pset.t, 86400.0)
+    np.testing.assert_allclose(pset.y, y + 10.0 * 86400, rtol=1e-5, atol=1.0)
+    np.testing.assert_allclose(pset.x, x + 2.0 * 86400, rtol=1e-5, atol=1.0)
+
+
 def test_three_kernel_chain_accumulates():
     fs = _fieldset_gradient()
 
