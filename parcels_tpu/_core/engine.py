@@ -73,6 +73,20 @@ def _sort_mode_enabled(fieldset) -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def _sort_worthwhile(fieldset, sort_field_name, n_block, z_occ) -> bool:
+    """Will the binned sampler actually engage for the sort field at this
+    lane count? If not (auto mode, infeasible bin plan), the chunk sort is
+    pure overhead. Forced sort mode always sorts."""
+    if os.environ.get("PARCELS_TPU_SORT_MODE", "auto") == "force":
+        return True
+    from parcels_tpu._core.field import VectorField
+    from parcels_tpu.ops.binned_sample import plan_feasible
+
+    f = fieldset.fields[sort_field_name]
+    cand = f.U if isinstance(f, VectorField) else f
+    return plan_feasible(tuple(cand.data.shape), n_block, z_occ)
+
+
 def _soa_sortable(pdata) -> bool:
     """All per-particle arrays must be 4-byte scalars for the packed permute."""
     return all(
@@ -199,7 +213,20 @@ def build_chunk_executor(
         endtime = jnp.asarray(endtime, dtype=pdata["t"].dtype)
         dt0 = jnp.asarray(dt0, dtype=pdata["dt"].dtype)
 
+        # materialize the stage-cache fused cell tables + corner-column
+        # tables OUTSIDE the step while-loop (traced here, before any loop)
+        from parcels_tpu.ops import stagecache
+
+        stagecache.prebuild_tables(fsview)
+
         sorting = sort_field_name is not None and _soa_sortable(pdata)
+        if sorting and not _sort_worthwhile(fieldset, sort_field_name,
+                                            min(pdata["state"].shape[0], block_size), z_occ):
+            # sorting exists to feed the binned sampler; when the bin plan
+            # is infeasible at this density the engine falls through to the
+            # order-insensitive colgather/gather paths, and the 10Mx26 sort
+            # + per-step resort cond are pure overhead (device trace r4)
+            sorting = False
         resort = None
         if sorting:
             # carry the original lane index through every (re)sort so the

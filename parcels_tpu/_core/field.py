@@ -199,7 +199,7 @@ class FieldView:
 class VectorFieldView:
     __slots__ = (
         "name", "U", "V", "W", "grid", "igrid", "interp_method", "vector_type",
-        "_stage_cache", "_sc_owner",
+        "_stage_cache", "_sc_owner", "_cell_table",
     )
 
     def __init__(self, name, U, V, W, interp_method, sc_owner=False):
@@ -217,6 +217,9 @@ class VectorFieldView:
         # is this view the designated owner of the persistent SoA cache
         # columns (stagecache.soa_cache_owner)? static per trace
         self._sc_owner = bool(sc_owner)
+        # fused per-cell [pic | geometry] row table (stagecache.cell_table),
+        # built once per chunk trace
+        self._cell_table = None
 
     def eval(self, t, z, y, x, particles: Particles | None = None):
         from parcels_tpu.ops import stagecache

@@ -85,6 +85,68 @@ def reset(fsview) -> None:
             v._stage_cache = None
 
 
+#: fused-row layout: cols 0-15 pic row (index_search.PIC_TABLE_COLS),
+#: cols 16-24 the C-grid geometry row (grid.cgrid_geometry)
+GEOM_OFF = 16
+
+
+def cell_table(vf):
+    """Fused per-cell row table: [pic row (16) | geometry row (9)].
+
+    One (cells, 25) take per lane-batch replaces the pic + geometry pair —
+    the row-gather issue rate is per ROW, independent of row length 16..100
+    f32 (BASELINE.md), so merging halves the dominant stage-1 cost. Built
+    on device once per chunk trace (concat of the shipped tables, ~1 ms at
+    bandwidth) and pinned with an optimization barrier so XLA neither
+    refuses to hoist it out of the step loop nor re-derives layouts
+    per block-step.
+    """
+    tbl = getattr(vf, "_cell_table", None)
+    if tbl is None:
+        garrs = vf.grid.garrs
+        pic = garrs["pic_table"].reshape(-1, index_search.PIC_TABLE_COLS)
+        tbl = jnp.concatenate([pic, garrs["cgrid_geom"]], axis=1)
+        tbl = jax.lax.optimization_barrier(tbl)
+        vf._cell_table = tbl
+    return tbl
+
+
+def prebuild_tables(fsview) -> None:
+    """Materialize fused cell tables + corner-column tables OUTSIDE the
+    engine's step while-loop (engine calls this right after build_views).
+
+    Left to lazy first-eval construction these land inside the loop body,
+    where XLA was observed re-deriving table layouts per block per step
+    (~100 ms/step of dynamic-update-slice churn at the config-5 shape)."""
+    from parcels_tpu.ops.colgather import colgather_usable
+
+    for v in fsview._views.values():
+        if not hasattr(v, "_stage_cache") or not enabled(v):
+            continue
+        cell_table(v)
+        if jax.default_backend() not in ("cpu",):
+            for comp in (v.U, v.V, v.W):
+                if comp is not None and colgather_usable(comp.data.shape):
+                    comp.col_table()
+
+
+def _blocked_cumsum(m_i32):
+    """Two-level cumsum: jnp.cumsum lowers to an expensive reduce-window on
+    long 1-D arrays; a (blocks, B) reshape with a tiny inter-block pass is
+    several times cheaper at 10M lanes."""
+    n = m_i32.shape[0]
+    B = 1024
+    if n < 4 * B:
+        return jnp.cumsum(m_i32)
+    nb = -(-n // B)
+    pad = nb * B - n
+    m2 = jnp.pad(m_i32, (0, pad)).reshape(nb, B)
+    intra = jnp.cumsum(m2, axis=1)
+    tot = intra[:, -1]
+    offs = jnp.cumsum(tot) - tot
+    return (intra + offs[:, None]).reshape(-1)[:n]
+
+
 # ---------------------------------------------------------------------------
 # cross-step persistence: the cache lives on in the particle SoA
 # ---------------------------------------------------------------------------
@@ -192,15 +254,12 @@ def invalidate_soa_cache(dev: dict) -> dict:
 
 def _load_soa_cache(particles, vf):
     pd = particles._data
-    garrs = vf.grid.garrs
     key = pd[SC_KEY]
     cell = jnp.maximum(key[:, 0], 0)
-    # the pic/geometry rows are not persisted: re-gather them by the cached
-    # cell (2 row-takes — stage 1's only gathers on the all-hit path)
-    row = jnp.take(
-        garrs["pic_table"].reshape(-1, index_search.PIC_TABLE_COLS), cell, axis=0
-    )
-    geom = jnp.take(garrs["cgrid_geom"], cell, axis=0)
+    # the pic/geometry rows are not persisted: re-gather the fused row by
+    # the cached cell (ONE row-take — stage 1's only gather on the
+    # all-hit path)
+    row = jnp.take(cell_table(vf), cell, axis=0)
     cx = max(vf.grid.spec.xdim, 1)
     # zeros derived from varying inputs (zeros_like) so the cache pytree has
     # consistent varying-manual-axes under shard_map (cf. engine walk carry)
@@ -212,7 +271,6 @@ def _load_soa_cache(particles, vf):
         "yi": (cell // cx).astype(jnp.int32),
         "xi": (cell % cx).astype(jnp.int32),
         "row": row,
-        "geom": geom,
         "u4": pd["_sc_u4"],
         "v4": pd["_sc_v4"],
         "w4": pd.get(SC_W) if vf.W is not None else None,
@@ -301,12 +359,14 @@ def _quad(field, ti, t1i, zcol, y0, x0, y1, x1):
 # ---------------------------------------------------------------------------
 
 
-def _blend(spec, geom, xsi, eta, tau, zeta, u4, v4, w4, Zw, y_deg):
+def _blend(spec, row, xsi, eta, tau, zeta, u4, v4, w4, Zw, y_deg):
+    """C-grid blend from the fused cell row (geometry at cols GEOM_OFF+)."""
     deg2m = spec.deg2m
     spherical = spec.spherical
-    dlon10, dlon23, dlon30, dlon21 = geom[:, 0], geom[:, 1], geom[:, 2], geom[:, 3]
-    dlat10, dlat23, dlat30, dlat21 = geom[:, 4], geom[:, 5], geom[:, 6], geom[:, 7]
-    py0 = geom[:, 8]
+    g = GEOM_OFF
+    dlon10, dlon23, dlon30, dlon21 = row[:, g], row[:, g + 1], row[:, g + 2], row[:, g + 3]
+    dlat10, dlat23, dlat30, dlat21 = row[:, g + 4], row[:, g + 5], row[:, g + 6], row[:, g + 7]
+    py0 = row[:, g + 8]
 
     def edge_len(dlon, dlat, lat_edge):
         if spherical:
@@ -399,10 +459,7 @@ def _full(vf, y, x, ti, t1i, zc, wzi, yi_g, xi_g):
     cell = yi_cl * cx + xi_cl
     valid = (yi >= 0) & (xi >= 0)
 
-    row = jnp.take(
-        garrs["pic_table"].reshape(-1, index_search.PIC_TABLE_COLS), cell, axis=0
-    )
-    geom = jnp.take(garrs["cgrid_geom"], cell, axis=0)
+    row = jnp.take(cell_table(vf), cell, axis=0)
 
     T, Z, Y, X = vf.U.data.shape
     off_x, off_y = spec.offset_x, spec.offset_y
@@ -423,7 +480,6 @@ def _full(vf, y, x, ti, t1i, zc, wzi, yi_g, xi_g):
         "yi": yi_cl.astype(jnp.int32),
         "xi": xi_cl.astype(jnp.int32),
         "row": row,
-        "geom": geom,
         "u4": u4,
         "v4": v4,
         "w4": w4a,
@@ -586,7 +642,7 @@ def cgrid_cached_eval(vf, t, z, y, x, particles):
         K_small = min(n, max(1024, n // _K_SMALL_DIV))
         K_big = min(n, max(1024, n // _K_BIG_DIV))
 
-        cum = jnp.cumsum(miss.astype(jnp.int32))
+        cum = _blocked_cumsum(miss.astype(jnp.int32))
 
         def fixup_k(K):
             def fixup(c):
@@ -602,7 +658,7 @@ def cgrid_cached_eval(vf, t, z, y, x, particles):
                     g(c["yi"]), g(c["xi"]),
                 )
                 out = dict(c)
-                for k in ("cell", "yi", "xi", "row", "geom", "u4", "v4"):
+                for k in ("cell", "yi", "xi", "row", "u4", "v4"):
                     out[k] = c[k].at[idx].set(sub[k])
                 if c["w4"] is not None:
                     out["w4"] = c["w4"].at[idx].set(sub["w4"])
@@ -638,7 +694,7 @@ def cgrid_cached_eval(vf, t, z, y, x, particles):
         _, xsi, eta = index_search.pic_from_rows(c["row"], q)
 
     u, v, w = _blend(
-        spec, c["geom"], xsi, eta, tau, zeta, c["u4"], c["v4"], c["w4"], Zw, y
+        spec, c["row"], xsi, eta, tau, zeta, c["u4"], c["v4"], c["w4"], Zw, y
     )
 
     if particles is not None:

@@ -739,6 +739,9 @@ def build_domain_executor(
             halo_lo = farrays.get("halo_lo")
             halo_hi = farrays.get("halo_hi")
             fsview = dom.build_views(farrays)
+            from parcels_tpu.ops import stagecache as _sc_mod
+
+            _sc_mod.prebuild_tables(fsview)
             pd = dict(pd)
             pd["_rng"] = pd["_rng"][0]
             pd["_migof"] = pd["_migof"][0]

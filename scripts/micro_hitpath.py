@@ -49,8 +49,11 @@ def mem_probe():
 
     def used():
         s = dev.memory_stats()
-        return s.get("bytes_in_use", 0)
+        return (s or {}).get("bytes_in_use", 0)
 
+    if dev.memory_stats() is None:
+        print("-- memory_stats unavailable on this backend (tunnel); skipping probe --")
+        return
     print("-- physical memory per logical layout (tile-padding probe) --")
     for shape in [(N,), (N, 4), (N, 9), (N, 16), (N, 128), (16, N)]:
         before = used()
