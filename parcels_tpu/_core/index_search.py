@@ -426,7 +426,11 @@ def curvilinear_search(
 
     if pic_table is not None:
         ncells_x = xdim - 1
-        pic = _make_point_in_cell_table(pic_table.reshape(-1, PIC_TABLE_COLS), ncells_x, y, x, spherical)
+        # width-agnostic: callers may pass the (cells, >=16) fused row table
+        # (ops/stagecache.cell_table) whose first 16 cols are the pic row —
+        # wider rows gather at the row-major 1-granule rate
+        cols = pic_table.shape[-1]
+        pic = _make_point_in_cell_table(pic_table.reshape(-1, cols), ncells_x, y, x, spherical)
     else:
         pic = _make_point_in_cell(lon2d, lat2d, y, x, spherical)
     in_cell, xsi, eta = pic(yi, xi)

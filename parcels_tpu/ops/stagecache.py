@@ -88,24 +88,35 @@ def reset(fsview) -> None:
 #: fused-row layout: cols 0-15 pic row (index_search.PIC_TABLE_COLS),
 #: cols 16-24 the C-grid geometry row (grid.cgrid_geometry)
 GEOM_OFF = 16
+#: fused rows live in ROW slots of this width. Width matters enormously:
+#: XLA lays (cells, C<=32) f32 tables out COL-major (avoiding tile
+#: padding), which turns a "row" gather into C scattered 4-byte reads,
+#: each costing a full 512 B HBM granule — measured 44 M rows/s. At width
+#: >= 64 the layout stays row-major and a row-take reads 1-2 contiguous
+#: granules: measured 211 M rows/s (micro_rowio2.py), a 5x on the
+#: dominant per-stage gather.
+CELL_TABLE_WIDTH = 64
 
 
 def cell_table(vf):
-    """Fused per-cell row table: [pic row (16) | geometry row (9)].
+    """Fused, width-padded per-cell row table: [pic (16) | geometry (9) | 0-pad].
 
-    One (cells, 25) take per lane-batch replaces the pic + geometry pair —
-    the row-gather issue rate is per ROW, independent of row length 16..100
-    f32 (BASELINE.md), so merging halves the dominant stage-1 cost. Built
-    on device once per chunk trace (concat of the shipped tables, ~1 ms at
-    bandwidth) and pinned with an optimization barrier so XLA neither
-    refuses to hoist it out of the step loop nor re-derives layouts
-    per block-step.
+    One (cells, 64) take per lane-batch replaces the pic + geometry table
+    pair, at the row-major gather rate (see CELL_TABLE_WIDTH). Built on
+    device once per chunk trace (concat of the shipped tables) and pinned
+    with an optimization barrier so XLA neither refuses to hoist it out of
+    the step loop nor re-derives layouts per block-step. Memory: 256 B per
+    cell (~0.77 GB at the config-5 grid).
     """
     tbl = getattr(vf, "_cell_table", None)
     if tbl is None:
         garrs = vf.grid.garrs
         pic = garrs["pic_table"].reshape(-1, index_search.PIC_TABLE_COLS)
-        tbl = jnp.concatenate([pic, garrs["cgrid_geom"]], axis=1)
+        cells = pic.shape[0]
+        pad = CELL_TABLE_WIDTH - pic.shape[1] - garrs["cgrid_geom"].shape[1]
+        tbl = jnp.concatenate(
+            [pic, garrs["cgrid_geom"], jnp.zeros((cells, pad), pic.dtype)], axis=1
+        )
         tbl = jax.lax.optimization_barrier(tbl)
         vf._cell_table = tbl
     return tbl
@@ -257,9 +268,9 @@ def _load_soa_cache(particles, vf):
     key = pd[SC_KEY]
     cell = jnp.maximum(key[:, 0], 0)
     # the pic/geometry rows are not persisted: re-gather the fused row by
-    # the cached cell (ONE row-take — stage 1's only gather on the
-    # all-hit path)
-    row = jnp.take(cell_table(vf), cell, axis=0)
+    # the cached cell (ONE 1-granule row-take — stage 1's only gather on
+    # the all-hit path); the cache carries only the meaningful columns
+    row = jnp.take(cell_table(vf), cell, axis=0)[:, : GEOM_OFF + 9]
     cx = max(vf.grid.spec.xdim, 1)
     # zeros derived from varying inputs (zeros_like) so the cache pytree has
     # consistent varying-manual-axes under shard_map (cf. engine walk carry)
@@ -436,7 +447,10 @@ def _full(vf, y, x, ti, t1i, zc, wzi, yi_g, xi_g):
         }
     yi, eta, xi, xsi = index_search.curvilinear_search(
         garrs["lon"], garrs["lat"], y, x, yi_g, xi_g,
-        spherical=spec.spherical, lookup=lookup, pic_table=garrs.get("pic_table"),
+        spherical=spec.spherical, lookup=lookup,
+        # the padded fused table: walk pic gathers run at the row-major
+        # 1-granule rate instead of 16 scattered reads per iteration
+        pic_table=cell_table(vf),
     )
 
     esc = jnp.where(
@@ -459,7 +473,7 @@ def _full(vf, y, x, ti, t1i, zc, wzi, yi_g, xi_g):
     cell = yi_cl * cx + xi_cl
     valid = (yi >= 0) & (xi >= 0)
 
-    row = jnp.take(cell_table(vf), cell, axis=0)
+    row = jnp.take(cell_table(vf), cell, axis=0)[:, : GEOM_OFF + 9]
 
     T, Z, Y, X = vf.U.data.shape
     off_x, off_y = spec.offset_x, spec.offset_y
