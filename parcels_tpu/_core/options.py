@@ -58,6 +58,15 @@ class EngineOptions:
         single-program device runtime (long-running programs destabilize
         remote TPU runtimes). 0 disables the cap. Maps to
         ``PARCELS_TPU_MAX_CHUNK_STEPS``.
+    chunk_target_seconds:
+        Measured-cost chunker target: each launch's wall time feeds an
+        EWMA seconds-per-step estimate and subsequent chunks are sized to
+        ~this many seconds of device time (never above
+        ``max_chunk_steps``). Cheap steps get the full cap; expensive
+        configs (10M-lane forced-gather) automatically run short launches
+        instead of multi-minute programs. 0 disables adaptation (fixed
+        ``max_chunk_steps`` chunks). Maps to
+        ``PARCELS_TPU_CHUNK_TARGET_SECONDS``.
     """
 
     sampler: str = "auto"
@@ -65,6 +74,7 @@ class EngineOptions:
     stagecache: str = "auto"
     stagecache_persist: bool = True
     max_chunk_steps: int = 64
+    chunk_target_seconds: float = 20.0
 
     def __post_init__(self):
         if self.sampler not in _SAMPLER_TO_ENV:
@@ -79,6 +89,13 @@ class EngineOptions:
             raise ValueError(
                 f"max_chunk_steps must be a non-negative int. Got {self.max_chunk_steps!r}"
             )
+        if not isinstance(self.chunk_target_seconds, (int, float)) or (
+            self.chunk_target_seconds < 0
+        ):
+            raise ValueError(
+                "chunk_target_seconds must be a non-negative number. "
+                f"Got {self.chunk_target_seconds!r}"
+            )
 
     # -- env mapping ----------------------------------------------------------
     def _env_values(self) -> dict[str, str]:
@@ -89,6 +106,7 @@ class EngineOptions:
             "PARCELS_TPU_STAGECACHE": self.stagecache,
             "PARCELS_TPU_STAGECACHE_PERSIST": "1" if self.stagecache_persist else "0",
             "PARCELS_TPU_MAX_CHUNK_STEPS": str(self.max_chunk_steps),
+            "PARCELS_TPU_CHUNK_TARGET_SECONDS": str(self.chunk_target_seconds),
         }
 
     def resolved_key(self) -> tuple:

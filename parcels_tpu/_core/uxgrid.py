@@ -105,6 +105,7 @@ class UxGrid(BaseGrid):
             self.node_lon, self.node_lat, self.face_node_connectivity
         )
         self._adjacency = _build_face_adjacency(self.face_node_connectivity)
+        self._face_table = None  # lazy (ops/uxcol.py fused geometry rows)
         self.axes = ["Z", "FACE"]
 
         self.spec = UxGridSpec(
@@ -156,7 +157,7 @@ class UxGrid(BaseGrid):
             )
         else:
             nodes = np.stack([self.node_lon, self.node_lat], axis=-1)
-        return {
+        out = {
             "nodes": jnp.asarray(nodes.astype(dtype)),
             "node_lon": jnp.asarray(self.node_lon.astype(dtype)),
             "node_lat": jnp.asarray(self.node_lat.astype(dtype)),
@@ -166,6 +167,15 @@ class UxGrid(BaseGrid):
             "lookup_fi": jnp.asarray(self._lookup["fi"]),
             "adj": jnp.asarray(self._adjacency),
         }
+        from parcels_tpu.ops import uxcol
+
+        if uxcol.enabled(self.spec.n_face):
+            if self._face_table is None:
+                self._face_table = uxcol.build_face_table(
+                    nodes.astype(np.float32), self.face_node_connectivity, self._adjacency
+                )
+            out["face_table"] = jnp.asarray(self._face_table)
+        return out
 
     def lookup_meta(self) -> dict:
         return {"origin": self._lookup["origin"], "step": self._lookup["step"]}
@@ -410,11 +420,23 @@ def ux_search(
     pts = _query_points(garrs, y, x, spec.spherical)
     nf = spec.n_face
 
+    # fused-face-row tier (ops/uxcol.py): a barycentric check or walk hop
+    # is ONE 64-wide row-take + VPU instead of conn + 3 node-coord + adj
+    # scattered gathers
+    from parcels_tpu.ops import uxcol
+
+    ftbl = garrs.get("face_table")
+
+    def bary(fi):
+        if ftbl is not None:
+            return uxcol.bary_from_rows(uxcol.face_rows(ftbl, fi), pts, spec.spherical)
+        return _bary_coords(garrs, fi, pts, spec.spherical)
+
     if ei is not None:
         fi0 = jnp.clip(ei, 0, nf - 1)
     else:
         fi0 = jnp.zeros(y.shape, dtype=jnp.int32)
-    bc0 = _bary_coords(garrs, fi0, pts, spec.spherical)
+    bc0 = bary(fi0)
     hit0 = _in_cell(bc0)
 
     (oy, ox) = spec.lookup_origin
@@ -432,16 +454,21 @@ def ux_search(
         def body(_, carry):
             fi, bc, found, hit_boundary = carry
             k = jnp.argmin(bc, axis=-1)
-            nxt = adj[jnp.clip(fi, 0, nf - 1), k]
+            if ftbl is not None:
+                nxt = uxcol.adj_from_rows(
+                    uxcol.face_rows(ftbl, fi), k.astype(jnp.int32)
+                )
+            else:
+                nxt = adj[jnp.clip(fi, 0, nf - 1), k]
             move = ~found & (nxt >= 0)
             hit_boundary = hit_boundary | (~found & (nxt < 0))
             fi_new = jnp.where(move, nxt, fi)
-            bc_new = _bary_coords(garrs, fi_new, pts, spec.spherical)
+            bc_new = bary(fi_new)
             found_new = found | _in_cell(bc_new)
             bc = jnp.where(found[:, None], bc, bc_new)
             return fi_new, bc, found_new, hit_boundary
 
-        bc = _bary_coords(garrs, fi, pts, spec.spherical)
+        bc = bary(fi)
         found = _in_cell(bc)
         hit_b = jnp.zeros(y.shape, dtype=bool)
         fi, bc, found, hit_b = jax.lax.fori_loop(0, n_walk, body, (fi, bc, found, hit_b))

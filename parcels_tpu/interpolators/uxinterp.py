@@ -1,10 +1,19 @@
 """Unstructured-grid interpolators (reference interpolators/_uxinterpolators.py).
 
 Four placement combinations, {face, node} lateral x {zc centers, zf
-interfaces} vertical, plus the Ux_Velocity vector wrapper. All are traced
-jnp gathers over the dense (T, Zdata, N) device arrays — the lateral axis N
-is n_face or n_node and the vertical data axis is layer centers (nz-1) or
-interfaces (nz) respectively.
+interfaces} vertical, plus the Ux_Velocity vector wrapper. Two sampling
+tiers share the same math:
+
+- gather tier: per-element jnp gathers over the dense (T, Zdata, N) device
+  arrays (the reference-shaped path; always used on CPU backends);
+- corner-column tier (ops/uxcol.py): the field transposed to (N, T*Z)
+  rows so one (t, z)-blended sample is 1 row-take (face data) or 3
+  (node data, barycentric) + a hat-weight VPU reduce — the structured
+  colgather design ported to triangular meshes (round-3 VERDICT item 5).
+
+The vertical blend is expressed once as a list of (zi, weight) taps:
+layer-center placements pin one tap; interface placements blend two with
+the non-uniform depth weights of reference _uxinterpolators.py:66-83.
 """
 
 from __future__ import annotations
@@ -28,6 +37,29 @@ def _tlevels(gpos, T):
     if T == 1:
         return ((ti, None),)
     return ((ti, 1 - tau), (jnp.clip(ti + 1, 0, T - 1), tau))
+
+
+def _zw_zc(gpos, Zdata):
+    """Single-tap vertical: piecewise-constant at the layer center."""
+    return [(jnp.clip(gpos["Z"]["index"], 0, Zdata - 1), None)]
+
+
+def _zw_zf(ppos, gpos, depth):
+    """Two-tap vertical: linear between interface levels zi and zi+1
+    (reference _uxinterpolators.py:66-83)."""
+    nz = depth.shape[0]
+    zi = jnp.clip(gpos["Z"]["index"], 0, nz - 2)
+    zi1 = jnp.clip(zi + 1, 0, nz - 1)
+    z = ppos["z"]
+    zk = depth[zi]
+    zkp1 = depth[zi1]
+    denom = jnp.where(zkp1 == zk, 1.0, zkp1 - zk)
+    return [(zi, (zkp1 - z) / denom), (zi1, (z - zk) / denom)]
+
+
+# ---------------------------------------------------------------------------
+# gather tier
+# ---------------------------------------------------------------------------
 
 
 def _gather_zn(data, ti, zi, ni):
@@ -68,26 +100,56 @@ def _node_sample(data, gpos, conn, zi):
     return val
 
 
-def _linear_zf(sample_at, ppos, gpos, depth):
-    """Linear vertical blend between interface levels zi and zi+1
-    (reference _uxinterpolators.py:66-83)."""
-    nz = depth.shape[0]
-    zi = jnp.clip(gpos["Z"]["index"], 0, nz - 2)
-    z = ppos["z"]
-    zk = depth[zi]
-    zkp1 = depth[jnp.clip(zi + 1, 0, nz - 1)]
-    fzk = sample_at(zi)
-    fzkp1 = sample_at(jnp.clip(zi + 1, 0, nz - 1))
-    denom = jnp.where(zkp1 == zk, 1.0, zkp1 - zk)
-    return (fzk * (zkp1 - z) + fzkp1 * (z - zk)) / denom
+# ---------------------------------------------------------------------------
+# shared dispatch
+# ---------------------------------------------------------------------------
+
+
+def _col_on(field) -> bool:
+    from parcels_tpu.ops import uxcol
+
+    return uxcol.enabled(field.grid.spec.n_face) and uxcol.col_usable(field.data.shape)
+
+
+def _sample(field, ppos, gpos, zw, node: bool):
+    if _col_on(field):
+        from parcels_tpu.ops import uxcol
+
+        T, Z, N = field.data.shape
+        tbl = uxcol.ux_col_table(field)
+        wrow = uxcol.weight_row(
+            T, Z, tbl.shape[1], gpos["T"]["index"], gpos["T"]["bcoord"], zw
+        )
+        if node:
+            nids = uxcol.node_ids(field, gpos)
+            bc = gpos["FACE"]["bcoord"]
+            return uxcol.sample_col(
+                tbl,
+                [nids[:, 0], nids[:, 1], nids[:, 2]],
+                wrow,
+                lat_w=[bc[:, 0], bc[:, 1], bc[:, 2]],
+            )
+        fi = jnp.clip(gpos["FACE"]["index"], 0, N - 1)
+        return uxcol.sample_col(tbl, [fi], wrow)
+
+    conn = field.grid.garrs["conn"] if node else None
+    val = None
+    for zi, w in zw:
+        if node:
+            v = _node_sample(field.data, gpos, conn, zi)
+        else:
+            v = _face_sample(field.data, gpos, zi)
+        if w is not None:
+            v = v * w
+        val = v if val is None else val + v
+    return val
 
 
 class UxConstantFaceConstantZC(ScalarInterpolator):
     """Piecewise-constant: face-registered, layer-center vertical."""
 
     def interp(self, ppos, gpos, field):
-        zi = jnp.clip(gpos["Z"]["index"], 0, field.data.shape[1] - 1)
-        return _face_sample(field.data, gpos, zi)
+        return _sample(field, ppos, gpos, _zw_zc(gpos, field.data.shape[1]), node=False)
 
 
 class UxConstantFaceLinearZF(ScalarInterpolator):
@@ -95,27 +157,22 @@ class UxConstantFaceLinearZF(ScalarInterpolator):
 
     def interp(self, ppos, gpos, field):
         depth = field.grid.garrs["depth"]
-        return _linear_zf(lambda zk: _face_sample(field.data, gpos, zk), ppos, gpos, depth)
+        return _sample(field, ppos, gpos, _zw_zf(ppos, gpos, depth), node=False)
 
 
 class UxLinearNodeConstantZC(ScalarInterpolator):
     """Barycentric lateral (node-registered), layer-center vertical."""
 
     def interp(self, ppos, gpos, field):
-        conn = field.grid.garrs["conn"]
-        zi = jnp.clip(gpos["Z"]["index"], 0, field.data.shape[1] - 1)
-        return _node_sample(field.data, gpos, conn, zi)
+        return _sample(field, ppos, gpos, _zw_zc(gpos, field.data.shape[1]), node=True)
 
 
 class UxLinearNodeLinearZF(ScalarInterpolator):
     """Barycentric lateral, linear between zf interfaces vertically."""
 
     def interp(self, ppos, gpos, field):
-        conn = field.grid.garrs["conn"]
         depth = field.grid.garrs["depth"]
-        return _linear_zf(
-            lambda zk: _node_sample(field.data, gpos, conn, zk), ppos, gpos, depth
-        )
+        return _sample(field, ppos, gpos, _zw_zf(ppos, gpos, depth), node=True)
 
 
 class Ux_Velocity(VectorInterpolator):  # noqa: N801

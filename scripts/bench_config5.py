@@ -30,6 +30,8 @@ Env knobs: N (default 10_000_000), STEPS (default 10), MODES (default
 (default 2,50,1500,2000 ~ 1.2 GB/component f32), DT (default 600 s).
 """
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import os
 import time
 

@@ -9,6 +9,8 @@ latency-cancelling two-length timing as bench.py.
 Env knobs: N (default 1_000_000), STEPS (default 20).
 """
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import os
 import time
 

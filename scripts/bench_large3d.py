@@ -13,6 +13,8 @@ separately) at the same data scale.
 Env knobs: N (default 1_000_000), STEPS (default 10), SHAPE (t,z,y,x).
 """
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import os
 import time
 

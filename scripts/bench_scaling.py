@@ -19,6 +19,8 @@ Env knobs: N (total particles, default 200_000), STEPS (default 20),
 YDIM/XDIM (grid nodes, default 256/64).
 """
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import os
 import time
 

@@ -1,0 +1,127 @@
+"""Unstructured (FESOM2-style) throughput bench: gather vs corner-row tier.
+
+Round-3 VERDICT item 5: the first unstructured perf number. A
+FESOM2-baroclinic-gyre-shaped triangular mesh (reference registry
+`Benchmarks_FESOM2-baroclinic-gyre`; here generated at matching scale) with
+node-registered velocities over zf interfaces, N particles advected with
+RK4, measured in both sampling tiers (PARCELS_TPU_UXCOL).
+
+Env: N (default 2_000_000), NX (mesh nodes per side, default 1200 ->
+~2.9M faces), NZ (default 48), STEPS (default 10), MODES (default
+"off,auto").
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def build_fieldset(nx, nz):
+    from parcels_tpu import FieldSet
+    from parcels_tpu.datasets.unstructured import delaunay_flow_dataset
+
+    t0 = time.perf_counter()
+    ds = delaunay_flow_dataset(
+        flow="rotation", placement="node", vertical="zf",
+        nx=nx, ny=nx, nz=nz, extent=1e6, maxdepth=1000.0,
+    )
+    fs = FieldSet.from_ugrid_conventions(ds, mesh="flat")
+    grid = fs.UV.U.grid
+    print(
+        f"mesh: {grid.spec.n_face} faces, {grid.spec.n_node} nodes, nz={nz}, "
+        f"built in {time.perf_counter()-t0:.1f}s", flush=True,
+    )
+    return fs
+
+
+def run(fs, npart, steps, dt=120.0):
+    from parcels_tpu._core.engine import build_chunk_executor
+    from parcels_tpu.kernels import AdvectionRK4
+
+    grid = fs.UV.U.grid
+    extent = 1e6
+    key = jax.random.PRNGKey(2)
+    kx, ky = jax.random.split(key)
+    pdata = {
+        "x": jax.random.uniform(kx, (npart,), jnp.float32, 0.3 * extent, 0.7 * extent),
+        "y": jax.random.uniform(ky, (npart,), jnp.float32, 0.3 * extent, 0.7 * extent),
+        "z": jnp.full((npart,), 100.0, jnp.float32),
+        "t": jnp.zeros((npart,), jnp.float32),
+        "_tc": jnp.zeros((npart,), jnp.float32),
+        "dt": jnp.full((npart,), dt, jnp.float32),
+        "dx": jnp.zeros((npart,), jnp.float32),
+        "dy": jnp.zeros((npart,), jnp.float32),
+        "dz": jnp.zeros((npart,), jnp.float32),
+        "particle_id": jnp.arange(npart, dtype=jnp.int32),
+        "state": jnp.zeros((npart,), jnp.int32),
+        "_active": jnp.ones((npart,), bool),
+        "ei": jnp.zeros((npart, 1), jnp.int32),
+    }
+    nblocks = 1
+    while npart // nblocks > 2**21 or npart % nblocks:
+        nblocks += 1
+    executor = build_chunk_executor(
+        (AdvectionRK4,), fs, sign_dt=1, rk45_mode=False, donate=False,
+        block_size=npart // nblocks,
+    )
+    farrays = {
+        "fields": {k: v.data for k, v in fs._field_arrays().items()},
+        "grids": [g.device_arrays() for g in fs._gridset],
+    }
+
+    t0 = time.perf_counter()
+    out = executor(farrays, pdata, jnp.float32(dt), jnp.float32(dt))
+    np.asarray(out["t"][:1])
+    compile_s = time.perf_counter() - t0
+
+    def chunk(k):
+        o = executor(farrays, out, jnp.float32(dt * (k + 1) * steps), jnp.float32(dt))
+        np.asarray(o["t"][:1])
+        return o
+
+    t0 = time.perf_counter()
+    chunk(1)
+    t_a = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    chunk(2)
+    t_b = time.perf_counter() - t0
+    best = min(t_a, t_b)
+    rate = npart * steps / best
+    print(
+        f"  compile+first {compile_s:.1f}s; {steps} steps in {best:.2f}s "
+        f"-> {rate/1e6:.2f} M particle-steps/s", flush=True,
+    )
+    return rate
+
+
+def main():
+    npart = int(os.environ.get("N", 2_000_000))
+    nx = int(os.environ.get("NX", 1200))
+    nz = int(os.environ.get("NZ", 48))
+    steps = int(os.environ.get("STEPS", 10))
+    modes = os.environ.get("MODES", "off,auto").split(",")
+    print(f"device={jax.devices()[0].platform} n={npart} steps={steps}", flush=True)
+    rates = {}
+    for mode in modes:
+        os.environ["PARCELS_TPU_UXCOL"] = mode
+        fs = build_fieldset(nx, nz)
+        print(f"mode uxcol={mode}:", flush=True)
+        try:
+            rates[mode] = run(fs, npart, steps)
+        except Exception as e:  # noqa: BLE001
+            print(f"  FAILED: {type(e).__name__}: {str(e)[:200]}", flush=True)
+    if len(rates) > 1 and "off" in rates:
+        base = rates.pop("off")
+        for m, r in rates.items():
+            print(f"speedup {m} vs gather: {r/base:.2f}x", flush=True)
+
+
+if __name__ == "__main__":
+    main()

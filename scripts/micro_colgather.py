@@ -22,6 +22,8 @@ into rowsum-then-scalar-gather, so the reduce must use the real per-lane
 hat weights to measure anything.
 """
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import time
 
 import jax

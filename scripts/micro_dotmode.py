@@ -1,6 +1,8 @@
 """A/B the binned-sampler MXU contraction precision: 3-pass bf16 split vs
 HIGHEST (6-pass) on the 100 MB sparse-3D case. Decides which _dot3 to ship."""
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import time
 
 import jax

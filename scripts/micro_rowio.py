@@ -21,7 +21,8 @@ import sys
 import time
 from functools import partial
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_d = os.path.dirname(os.path.abspath(__file__))
+sys.path[:0] = [_d, os.path.dirname(_d)]  # scripts dir + repo root
 
 import numpy as np
 

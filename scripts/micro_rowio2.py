@@ -15,7 +15,8 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_d = os.path.dirname(os.path.abspath(__file__))
+sys.path[:0] = [_d, os.path.dirname(_d)]  # scripts dir + repo root
 
 import numpy as np
 

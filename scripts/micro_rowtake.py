@@ -1,5 +1,7 @@
 """Row-gather microbench: permute a packed (N, C) SoA vs C separate takes."""
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import time
 
 import jax

@@ -9,6 +9,8 @@ needs (see ops/interp_kernels.py docstring):
 All data generated on device (the tunnel stalls on large transfers).
 """
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import time
 
 import jax

@@ -17,6 +17,10 @@ exercise this way.
 import os
 import sys
 
+# self-contained import path: the spawning test's PYTHONPATH may be
+# claimed by the TPU-plugin site dir and not include the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=4")
 
 import jax

