@@ -529,7 +529,11 @@ class ParticleSet:
             # fixed behavior.
             max_chunk = int(os.environ.get("PARCELS_TPU_MAX_CHUNK_STEPS", 64))
             target_s = float(os.environ.get("PARCELS_TPU_CHUNK_TARGET_SECONDS", 20.0))
-            adaptive = target_s > 0 and max_chunk > 0 and bool(dt)
+            # RK45's adaptive-dt path is sensitive to WHERE chunk endtimes
+            # force landings, so wall-time-driven chunk lengths would make
+            # trajectories run-to-run nondeterministic; fixed-dt kernels
+            # land chunk edges on dt multiples and are unaffected
+            adaptive = target_s > 0 and max_chunk > 0 and bool(dt) and not rk45_mode
             cur_chunk = min(max_chunk, 8) if adaptive else max_chunk
             est_per_step = None  # EWMA seconds per engine step
             while sign_dt * (time - end_time) < 0:

@@ -49,11 +49,12 @@ from parcels_tpu._core.statuscodes import StatusCode
 
 __all__ = ["cgrid_cached_eval", "enabled", "reset"]
 
-#: miss fix-up round capacity, as n/DIV; ceil(misses/K) rounds run per
-#: stage (1-2 in the steady state). Swept on-device at the config-5 shape
-#: (scripts/sweep_kdiv.py): per-round cost scales with K, so small rounds
-#: win decisively — n/16: 5.0, n/64: 16.2, n/256: 28.6 M steps/s.
-_K_DIV = int(os.environ.get("PARCELS_TPU_STAGECACHE_K_DIV", 256))
+#: miss fix-up round capacity, as n/DIV (floor 1024 lanes); ceil(misses/K)
+#: rounds run per stage (1-2 in the steady state). Swept on-device at the
+#: config-5 shape (scripts/sweep_kdiv.py): per-round cost scales with K, so
+#: small rounds win decisively — n/16: 5.0, n/64: 16.2, n/256: 28.7,
+#: n/512: 32.6, n/1024: 34.5, n/2048: 31.2 M steps/s.
+_K_DIV = int(os.environ.get("PARCELS_TPU_STAGECACHE_K_DIV", 1024))
 
 
 def _mode() -> str:
@@ -686,18 +687,14 @@ def cgrid_cached_eval(vf, t, z, y, x, particles):
 
         def round_body(carry):
             r, c = carry
-            # compact this round's K miss indices with ONE n-length scatter
-            # (searchsorted costs K*log2(n) scattered reads — measured 4x
-            # the whole round at K = n/16); slots beyond cnt hold n-1,
-            # harmlessly recomputing a hit lane (same as the old clamp)
+            # compact this round's K miss indices by binary search into the
+            # miss cumsum: O(K log n), so the per-round cost scales with the
+            # round CAPACITY, not the batch (an n-length scatter compaction
+            # was measured strictly worse once K shrank below ~n/64 —
+            # every round re-paid the full batch)
             base = (r * K).astype(cum.dtype)
-            pos = cum - 1 - base
-            # negative scatter indices WRAP (even under mode="drop"):
-            # route earlier rounds' misses to the dropped slot K explicitly
-            pos = jnp.where(miss & (pos >= 0), pos, jnp.int32(K))
-            idx = jnp.full((K,), n - 1, jnp.int32).at[pos].set(
-                jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0], mode="drop"
-            )
+            idx = jnp.searchsorted(cum, base + jnp.arange(1, K + 1, dtype=cum.dtype))
+            idx = jnp.minimum(idx, n - 1).astype(jnp.int32)
 
             def g(a):
                 return jnp.take(a, idx, axis=0)

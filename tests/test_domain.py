@@ -480,3 +480,100 @@ def test_moi_shaped_banded_matches_single_device():
     xd, yd = _run(fs_dom, x, y, AdvectionRK4, DAY, 1800, domain=dom)
     np.testing.assert_allclose(xd, xs, rtol=1e-6, atol=1e-4)
     np.testing.assert_allclose(yd, ys, rtol=1e-6, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Load-balanced (non-uniform) band edges — round-3 VERDICT missing #4
+# ---------------------------------------------------------------------------
+
+
+def test_balanced_bands_skewed_seeding():
+    """All particles clustered in one uniform band: balanced edges spread
+    them ~evenly over 8 devices, shrink lane capacity, and preserve the
+    closed form with zero migration overflow."""
+    fs_uni = _uniform_flow_fieldset(0.0, 10.0)
+    fs_bal = _uniform_flow_fieldset(0.0, 10.0)
+    rng = np.random.default_rng(11)
+    n = 256
+    x = rng.uniform(-9e5, 9e5, n)
+    y = rng.uniform(-3e5, -1e5, n)  # one narrow strip (~1 uniform band)
+
+    dom_uni = YBandDomain(fs_uni, n_bands=8, halo=2)
+    counts_uni = np.bincount(dom_uni.band_of(y, x), minlength=8)
+    assert counts_uni.max() >= n * 0.8  # the skew is real
+
+    dom_bal = YBandDomain(
+        fs_bal, n_bands=8, halo=2,
+        row_edges=YBandDomain(fs_bal, n_bands=8, halo=2).balanced_row_edges(y, x),
+    )
+    counts_bal = np.bincount(dom_bal.band_of(y, x), minlength=8)
+    assert counts_bal.max() <= int(n / 8 * 2.5), counts_bal
+    pdata = {"y": y, "x": x, "_active": np.ones(n, bool)}
+    assert dom_bal.lane_capacity(pdata) < dom_uni.lane_capacity(pdata)
+
+    xs, ys = _run(fs_uni, x, y, AdvectionRK4, DAY, 600)
+    xd, yd = _run(fs_bal, x, y, AdvectionRK4, DAY, 600, domain=dom_bal)
+    np.testing.assert_allclose(ys, y + 10.0 * DAY, rtol=1e-5, atol=0.1)
+    np.testing.assert_allclose(xd, xs, rtol=1e-6, atol=0.1)
+    np.testing.assert_allclose(yd, ys, rtol=1e-6, atol=0.1)
+
+
+def test_rebalance_midrun_preserves_closed_form():
+    """rebalance() between execute calls: new edges track the drifted
+    cluster, the executor is reused (same compiled shapes), trajectories
+    stay on the closed form."""
+    fs = _uniform_flow_fieldset(0.0, 10.0)
+    rng = np.random.default_rng(13)
+    n = 128
+    x = rng.uniform(-9e5, 9e5, n)
+    y = rng.uniform(-8e5, -6e5, n)
+
+    dom = YBandDomain(fs, n_bands=8, halo=2)
+    edges0 = dom.balanced_row_edges(y, x)
+    dom.set_row_edges(edges0)
+    pset = ParticleSet(fs, x=x.copy(), y=y.copy(), t=np.zeros(n))
+    shard_particleset(pset, dom)
+    half = DAY // 2
+    pset.execute(AdvectionRK4, dt=np.timedelta64(600, "s"), runtime=np.timedelta64(half, "s"))
+
+    edges1 = dom.rebalance(np.asarray(pset.y), np.asarray(pset.x))
+    assert not np.array_equal(edges0, edges1)  # the cluster moved ~430 km north
+    pset.execute(AdvectionRK4, dt=np.timedelta64(600, "s"), runtime=np.timedelta64(half, "s"))
+
+    order = np.argsort(pset.particle_id)
+    np.testing.assert_allclose(
+        pset.y[order], y + 10.0 * DAY, rtol=1e-5, atol=0.2
+    )
+    np.testing.assert_allclose(pset.x[order], x, rtol=1e-6, atol=0.2)
+
+
+def test_balanced_curvilinear_bands():
+    """Non-uniform row edges on a curvilinear banded grid: migration rebase
+    across unequal bands preserves trajectories."""
+    from parcels_tpu.datasets import curvilinear_rotated_dataset
+
+    def build():
+        ds = curvilinear_rotated_dataset(xdim=200, ydim=64)
+        return FieldSet.from_sgrid_conventions(ds, mesh="flat")
+
+    rng = np.random.default_rng(5)
+    n = 48
+    th = np.deg2rad(30.0)
+    sx = rng.uniform(5e3, 5e4, n)
+    sy = rng.uniform(45e3, 58e3, n)
+    x = np.cos(th) * sx - np.sin(th) * sy
+    y = np.sin(th) * sx + np.cos(th) * sy
+
+    fs_single = build()
+    xs, ys = _run(fs_single, x, y, AdvectionRK4, DAY, 600)
+
+    fs_dom = build()
+    probe = YBandDomain(fs_dom, n_bands=8, halo=3)
+    edges = probe.balanced_row_edges(y, x, max_rows=probe._Yl_locks[probe._main_igrid] - 6)
+    fs_dom2 = build()
+    dom = YBandDomain(fs_dom2, n_bands=8, halo=3, row_edges=edges)
+    assert dom.curvilinear
+    assert np.any(np.diff(edges) != np.diff(edges)[0])  # genuinely non-uniform
+    xd, yd = _run(fs_dom2, x, y, AdvectionRK4, DAY, 600, domain=dom)
+    np.testing.assert_allclose(xd, xs, rtol=1e-6, atol=0.5)
+    np.testing.assert_allclose(yd, ys, rtol=1e-6, atol=0.5)
