@@ -564,6 +564,9 @@ class FieldSet:
                 else:
                     arr = jnp.asarray(data.astype(np.float32) if data.dtype.kind == "f" else data)
                 farrays["fields"][name] = arr
+        from parcels_tpu.ops.stagecache import attach_derived_tables
+
+        attach_derived_tables(self, farrays)
         object.__setattr__(self, "window_stats", stats)
         return farrays
 
@@ -634,6 +637,9 @@ class FieldSet:
                 if sharding is not None:
                     arr = jax.device_put(arr, sharding)
                 farrays["fields"][name] = arr
+        from parcels_tpu.ops.stagecache import attach_derived_tables
+
+        attach_derived_tables(self, farrays)
         object.__setattr__(self, "_device_cache", farrays)
         return farrays
 
@@ -642,6 +648,8 @@ class FieldSet:
         grid_views = []
         for i, grid in enumerate(self._gridset):
             grid_views.append(grid.make_view(farrays["grids"][i]))
+        coltables = farrays.get("coltables", {})
+        celltables = farrays.get("celltables", {})
         views: dict[str, object] = {}
         for name, f in self._fields.items():
             if isinstance(f, Field):
@@ -649,6 +657,11 @@ class FieldSet:
                 views[name] = FieldView(
                     name, farrays["fields"][name], grid_views[f.igrid], f.igrid, f.interp_method, has_time
                 )
+                if name in coltables:
+                    # pre-seed the derived-table cache: built once per
+                    # farrays by stagecache.attach_derived_tables instead of
+                    # per chunk trace (a ~453 ms/chunk transpose at config-5)
+                    views[name]._col_table = coltables[name]
         from parcels_tpu.ops.stagecache import soa_cache_owner
 
         sc_owner, _ = soa_cache_owner(self)
@@ -662,6 +675,8 @@ class FieldSet:
                     f.interp_method,
                     sc_owner=(name == sc_owner),
                 )
+                if f.igrid in celltables:
+                    views[name]._cell_table = celltables[f.igrid]
         return FieldSetView(views, dict(self.context))
 
     def eval(self, name: str, t, z, y, x):

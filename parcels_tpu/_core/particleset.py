@@ -534,7 +534,10 @@ class ParticleSet:
             # trajectories run-to-run nondeterministic; fixed-dt kernels
             # land chunk edges on dt multiples and are unaffected
             adaptive = target_s > 0 and max_chunk > 0 and bool(dt) and not rk45_mode
-            cur_chunk = min(max_chunk, 8) if adaptive else max_chunk
+            # short probe chunk: the first launch's cost is UNKNOWN (this is
+            # exactly the crash regime — a forced-gather 10M step can cost
+            # 10 s), so expose at most 2 steps before the model kicks in
+            cur_chunk = min(max_chunk, 2) if adaptive else max_chunk
             est_per_step = None  # EWMA seconds per engine step
             while sign_dt * (time - end_time) < 0:
                 if next_output is not None:

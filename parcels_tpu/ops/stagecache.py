@@ -125,6 +125,75 @@ def cell_table(vf):
     return tbl
 
 
+def attach_derived_tables(fieldset, farrays) -> None:
+    """Materialize the derived gather tables ONCE per farrays pytree.
+
+    The fused cell table and the corner-column tables are pure functions of
+    the shipped field/grid arrays; built lazily inside the chunk executor
+    they are re-derived at EVERY chunk call — the config-5 col-table
+    transposes alone cost ~453 ms/chunk (device trace r4). Building them
+    here (eager, outside any trace) and shipping them under
+    ``farrays["coltables"][name]`` / ``farrays["celltables"][igrid]`` pays
+    the transpose once per farrays (per time window when streaming);
+    ``FieldSet.build_views`` pre-seeds the view caches from these entries.
+    CPU backends skip (the tables are a TPU row-gather optimization).
+    """
+    import jax
+
+    if jax.default_backend() in ("cpu",):
+        return
+    from parcels_tpu._core.field import Field, VectorField
+    from parcels_tpu.interpolators.xinterp import CGrid_Velocity
+    from parcels_tpu.ops import uxcol
+    from parcels_tpu.ops.colgather import colgather_table, colgather_usable
+
+    # Eager builds need NO optimization_barrier (that pin only matters
+    # inside a trace — these are concrete device arrays that enter the
+    # executor as jit INPUTS, which cannot be fused away). Each build is
+    # synced before the next so only one transpose's transient is live —
+    # overlapping 1.12 GiB transients tipped the full config-5 shape into
+    # ResourceExhausted.
+    colt = farrays.setdefault("coltables", {})
+    cellt = farrays.setdefault("celltables", {})
+    for name, f in fieldset.fields.items():
+        if not isinstance(f, Field) or name in colt:
+            continue
+        data = farrays["fields"].get(name)
+        if data is None:
+            continue
+        if data.ndim == 4 and colgather_usable(data.shape):
+            T, Z, Y, X = data.shape
+            tbl = jnp.moveaxis(data.reshape(T * Z, Y * X), 0, -1)
+            colt[name] = jax.block_until_ready(tbl)
+        elif data.ndim == 3 and uxcol.col_usable(data.shape) and uxcol.enabled(
+            getattr(f.grid.spec, "n_face", 0)
+        ):
+            T, Z, N = data.shape
+            tbl = jnp.moveaxis(data.reshape(T * Z, N), 0, -1)
+            if T * Z < uxcol.ROW_WIDTH:
+                tbl = jnp.pad(tbl, ((0, 0), (0, uxcol.ROW_WIDTH - T * Z)))
+            colt[name] = jax.block_until_ready(tbl)
+    if _mode() not in ("0", "off"):
+        for f in fieldset.fields.values():
+            if not (
+                isinstance(f, VectorField)
+                and isinstance(f.interp_method, CGrid_Velocity)
+                and getattr(f.grid.spec, "curvilinear", False)
+            ):
+                continue
+            ig = f.igrid
+            garrs = farrays["grids"][ig]
+            if ig in cellt or "pic_table" not in garrs or "cgrid_geom" not in garrs:
+                continue
+            pic = garrs["pic_table"].reshape(-1, index_search.PIC_TABLE_COLS)
+            cells = pic.shape[0]
+            pad = CELL_TABLE_WIDTH - pic.shape[1] - garrs["cgrid_geom"].shape[1]
+            tbl = jnp.concatenate(
+                [pic, garrs["cgrid_geom"], jnp.zeros((cells, pad), pic.dtype)], axis=1
+            )
+            cellt[ig] = jax.block_until_ready(tbl)
+
+
 def prebuild_tables(fsview) -> None:
     """Materialize fused cell tables + corner-column tables OUTSIDE the
     engine's step while-loop (engine calls this right after build_views).

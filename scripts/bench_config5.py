@@ -109,6 +109,9 @@ def device_farrays(fs, seed=3):
             farrays["fields"][name] = jax.random.uniform(
                 k, f.data.shape, jnp.float32, -amp, amp
             )
+    from parcels_tpu.ops.stagecache import attach_derived_tables
+
+    attach_derived_tables(fs, farrays)
     object.__setattr__(fs, "_device_cache", farrays)
     return farrays
 
@@ -180,6 +183,11 @@ def run_bench(fs, npart, steps, dt, kernel=None, z_spread=None):
         pdata0.update(_sc.make_soa_cache_device(npart, sc_w))
     pdata = executor(farrays, pdata0, jnp.float32(dt), jnp.float32(dt))
     np.asarray(pdata["t"][:1])  # compile + ei-cache warm, tunnel-safe sync
+    # free the seed SoA: at 10M lanes each copy is ~2 GB of HBM, and three
+    # (seed + warm + out) alongside the gather tables exhausts the chip
+    for k in list(pdata0):
+        pdata0[k] = None
+    del pdata0
 
     def run(k):
         t0 = time.perf_counter()

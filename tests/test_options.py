@@ -126,7 +126,7 @@ def test_adaptive_chunker_shrinks_and_preserves_semantics():
     stats = pset.last_run_stats
     assert stats["chunk_steps_final"] == 1
     assert stats["est_seconds_per_step"] is not None
-    # 12 steps: probe chunk of 8 + 1-step launches for the tail
+    # 12 steps: 2-step probe chunk + 1-step launches for the tail
     assert stats["chunks"] >= 5
     order = np.argsort(pset.particle_id)
     adaptive = np.stack([pset.x[order], pset.y[order]])
