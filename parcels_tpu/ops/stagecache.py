@@ -754,16 +754,20 @@ def cgrid_cached_eval(vf, t, z, y, x, particles):
         nrounds = jax.lax.div(cnt + (K - 1), jnp.int32(K))
         c["esc"] = jnp.zeros_like(c["esc"])
 
+        # Compact ALL miss indices once per stage with a single n-length
+        # scatter; each round then just slices its K entries. (Earlier
+        # designs paid per ROUND: searchsorted cost K*log2(n) scattered
+        # reads — the dominant round cost at K >= n/64 — and an n-scatter
+        # per round re-paid the whole batch at small K.) Slots beyond cnt
+        # hold n-1, harmlessly recomputing a hit lane.
+        pos = jnp.where(miss, cum - 1, jnp.int32(n))
+        idx_all = jnp.full((n,), n - 1, jnp.int32).at[pos].set(
+            jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0], mode="drop"
+        )
+
         def round_body(carry):
             r, c = carry
-            # compact this round's K miss indices by binary search into the
-            # miss cumsum: O(K log n), so the per-round cost scales with the
-            # round CAPACITY, not the batch (an n-length scatter compaction
-            # was measured strictly worse once K shrank below ~n/64 —
-            # every round re-paid the full batch)
-            base = (r * K).astype(cum.dtype)
-            idx = jnp.searchsorted(cum, base + jnp.arange(1, K + 1, dtype=cum.dtype))
-            idx = jnp.minimum(idx, n - 1).astype(jnp.int32)
+            idx = jax.lax.dynamic_slice(idx_all, (r * K,), (K,))
 
             def g(a):
                 return jnp.take(a, idx, axis=0)
