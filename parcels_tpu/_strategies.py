@@ -112,3 +112,21 @@ def sgrid_dataset(draw, grid: "sgrid.SGrid2DMetadata | None" = None):
 
     ds = xr.Dataset(data_vars=data_vars, coords=coords)
     return sgrid.attach_sgrid_metadata(ds, grid)
+
+
+@st.composite
+def sgrid3d_metadata(draw):
+    """Random valid SGrid3DMetadata: 3 node dims x 3 padded volume dims with
+    all four paddings drawn independently (reference round-trip depth,
+    _sgrid/core.py:192-260)."""
+    names = draw(st.lists(_dim_names, min_size=9, max_size=9, unique=True))
+    xn, yn, zn, xv, yv, zv, cx, cy, cz = names
+    return sgrid.SGrid3DMetadata(
+        node_dimensions=(xn, yn, zn),
+        node_coordinates=(cx, cy, cz),
+        volume_dimensions=(
+            sgrid.FaceNodePadding(xv, xn, draw(paddings)),
+            sgrid.FaceNodePadding(yv, yn, draw(paddings)),
+            sgrid.FaceNodePadding(zv, zn, draw(paddings)),
+        ),
+    )
