@@ -754,20 +754,18 @@ def cgrid_cached_eval(vf, t, z, y, x, particles):
         nrounds = jax.lax.div(cnt + (K - 1), jnp.int32(K))
         c["esc"] = jnp.zeros_like(c["esc"])
 
-        # Compact ALL miss indices once per stage with a single n-length
-        # scatter; each round then just slices its K entries. (Earlier
-        # designs paid per ROUND: searchsorted cost K*log2(n) scattered
-        # reads — the dominant round cost at K >= n/64 — and an n-scatter
-        # per round re-paid the whole batch at small K.) Slots beyond cnt
-        # hold n-1, harmlessly recomputing a hit lane.
-        pos = jnp.where(miss, cum - 1, jnp.int32(n))
-        idx_all = jnp.full((n,), n - 1, jnp.int32).at[pos].set(
-            jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0], mode="drop"
-        )
-
         def round_body(carry):
             r, c = carry
-            idx = jax.lax.dynamic_slice(idx_all, (r * K,), (K,))
+            # compact this round's K miss indices by binary search into the
+            # miss cumsum: O(K log n) scattered READS. Both scatter-based
+            # alternatives measured slower on device (sweep_kdiv ladders):
+            # an n-length scatter per round re-pays the batch every round,
+            # and even ONE n-scatter per stage (~2.5M writes at the ~500M
+            # elem/s scatter issue rate) costs more than all the small
+            # searchsorteds combined at the optimal K = n/1024.
+            base = (r * K).astype(cum.dtype)
+            idx = jnp.searchsorted(cum, base + jnp.arange(1, K + 1, dtype=cum.dtype))
+            idx = jnp.minimum(idx, n - 1).astype(jnp.int32)
 
             def g(a):
                 return jnp.take(a, idx, axis=0)
