@@ -63,11 +63,12 @@ def _zw_zf(ppos, gpos, depth):
 
 
 def _gather_zn(data, ti, zi, ni):
-    """data[(T),Z,N] gather at per-particle (ti, zi, ni)."""
-    T, Z, N = data.shape
-    flat = data.reshape(-1)
-    idx = (ti * Z + zi) * N + ni
-    return flat[idx]
+    """data[(T),Z,N] gather at per-particle (ti, zi, ni).
+
+    Multi-dimensional advanced indexing, NOT a flattened 1-D gather: huge
+    1-D gathers are the documented TPU worker kernel-fault class
+    (scripts/micro_rowio.py) and crashed this path at FESOM2 scale."""
+    return data[ti, zi, ni]
 
 
 def _face_sample(data, gpos, zi):

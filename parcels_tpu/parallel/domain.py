@@ -13,11 +13,12 @@ TPU-native scaling design for fields too large to replicate:
   cell row.
 - **Per-step particle migration**: after every engine step, particles whose
   ``y`` crossed the owning band's edge are packed into a fixed-capacity
-  buffer and handed to the neighbor device with ``lax.ppermute`` (ICI
-  neighbor hop — the cheapest collective on a TPU torus), then merged into
-  the receiver's inactive lanes. Static shapes throughout: this is the
-  "ragged all_to_all with capacity padding + compaction" design from
-  SURVEY.md §7.3.
+  buffer and exchanged. Two transports (``migration=``): uniform bands use
+  ``lax.ppermute`` neighbor hops (the cheapest collective on a TPU torus —
+  a particle crosses at most one band per step under the halo CFL);
+  non-uniform (load-balanced) bands use a ragged ``lax.all_to_all`` that
+  delivers multi-band crossers directly (capacity padding + compaction —
+  the SURVEY §7.3 design). Received lanes merge into inactive slots.
 - **Global OOB semantics preserved**: the local lat slab is halo-extended,
   so out-of-bounds is judged against the *global* domain edges carried in
   ``GridSpec.y_oob_bounds`` — a particle leaving the global domain gets the
@@ -94,7 +95,13 @@ class YBandDomain:
         migration_capacity: int | None = None,
         axis: str = "bands",
         row_edges=None,
+        migration: str = "auto",
     ):
+        if migration not in ("auto", "neighbor", "all2all"):
+            raise ValueError(
+                f"migration must be 'auto', 'neighbor' or 'all2all'. Got {migration!r}"
+            )
+        self.migration = migration
         if devices is None:
             devices = jax.devices()
             if n_bands is not None:
@@ -116,6 +123,19 @@ class YBandDomain:
         #: local ydim) survives an edge change without recompiling
         self._Yl_locks: dict[int, int] = {}
         self._build_plans()
+
+    @property
+    def migration_mode(self) -> str:
+        """Resolved migration transport: neighbor ``ppermute`` hops for
+        uniform bands (a particle crosses at most one band per step under
+        the halo CFL), ``all_to_all`` direct delivery when the partition is
+        non-uniform (balanced bands can be narrower than one step's
+        displacement)."""
+        if self.migration != "auto":
+            return self.migration
+        main = self._grid_plans[self._main_igrid]
+        own = np.diff(main["row_edges"])
+        return "all2all" if np.any(own != own[0]) else "neighbor"
 
     def _edges_for(self, ydim: int):
         """Validated per-grid row edges: the custom partition when it
@@ -400,6 +420,11 @@ class YBandDomain:
                     ],
                     axis=1,
                 ).astype(np.int32)
+                # the FULL partition, replicated: the all-to-all migration
+                # path rebases indices between arbitrary band pairs
+                per_band["band_row_starts"] = np.broadcast_to(
+                    r[:-1].astype(np.int32), (n, n)
+                )
                 garrs.update(per_band)
                 for k in list(garrs):
                     if k not in per_band:
@@ -450,6 +475,16 @@ class YBandDomain:
             out["halo_hi"] = self._put(np.asarray(slabs[:, -1], dtype=np.float32), 1)
         out["band_lo"] = self._put(np.asarray(blo, dtype=np.float32), 1)
         out["band_hi"] = self._put(np.asarray(bhi, dtype=np.float32), 1)
+        if n > 1:
+            # replicated global interior ownership edges for all-to-all
+            # destination routing (rect: latitude values; curvi: cell rows)
+            if self.curvilinear:
+                edges_int = main["row_edges"][1:-1].astype(np.int32)
+            else:
+                edges_int = np.asarray(self._interior_edges, dtype=np.float32)
+            out["band_edges_int"] = self._put(
+                np.broadcast_to(edges_int, (n, n - 1)).copy(), 2
+            )
         return out
 
     def _ensure_windowed_specs(self):
@@ -746,6 +781,136 @@ def _neighbor_exchange(pd: dict, mover, shift: int, axis: str, n_dev: int, cap: 
     return pd, (send_overflow + recv_overflow).astype(jnp.int32)
 
 
+def _exchange_all2all(pd: dict, mover, dest, axis: str, n_dev: int, cap: int, on_send=None):
+    """Route mover lanes DIRECTLY to their destination device with one
+    ragged ``lax.all_to_all`` (SURVEY §2.2 comm-backend target).
+
+    Static-shape raggedness: each device packs up to ``cap`` movers per
+    destination into an (n_dev, cap) buffer (grouped by a stable sort on
+    destination), all_to_all swaps row j to device j, and receivers merge
+    the valid entries into inactive lanes. Unlike the ±1 ``ppermute`` hops
+    this delivers multi-band crossers in ONE step — required when balanced
+    bands are narrower than a step's displacement. Returns (pd, overflow).
+    """
+    lane_keys = [k for k in pd if k not in _NON_LANE_KEYS and k != "_active"]
+    L = mover.shape[0]
+    key = jnp.where(mover, dest.astype(jnp.int32), jnp.int32(n_dev))
+    order = jnp.argsort(key, stable=True)
+    skey = key[order]
+    grp_start = jnp.searchsorted(skey, jnp.arange(n_dev, dtype=skey.dtype))
+    pos = jnp.arange(L, dtype=jnp.int32) - grp_start[
+        jnp.clip(skey, 0, n_dev - 1)
+    ].astype(jnp.int32)
+    valid = (skey < n_dev) & (pos < cap)
+    M = n_dev * cap
+    slot = jnp.where(valid, skey * cap + pos, jnp.int32(M))  # M = dropped
+    send_overflow = jnp.sum(mover) - jnp.sum(valid)
+
+    buf = {}
+    for k in lane_keys:
+        v = pd[k][order]
+        buf[k] = (
+            jnp.zeros((M,) + v.shape[1:], v.dtype).at[slot].set(v, mode="drop")
+        )
+    vbuf = jnp.zeros((M,), bool).at[slot].set(valid, mode="drop")
+    if on_send is not None:
+        dstbuf = jnp.zeros((M,), jnp.int32).at[slot].set(skey, mode="drop")
+        buf = on_send(buf, dstbuf)
+
+    sent = jnp.zeros(L, dtype=bool).at[order].set(valid)
+    pd["_active"] = pd["_active"] & ~sent
+
+    def a2a(x):
+        return jax.lax.all_to_all(
+            x.reshape((n_dev, cap) + x.shape[1:]), axis, split_axis=0, concat_axis=0
+        ).reshape((M,) + x.shape[1:])
+
+    rbuf = {k: a2a(v) for k, v in buf.items()}
+    rvalid = a2a(vbuf)
+
+    # compact received movers to the front, then fill inactive lanes
+    rorder = jnp.argsort(~rvalid)
+    rvalid_s = rvalid[rorder]
+    M2 = min(M, L)
+    free_order = jnp.argsort(pd["_active"])  # inactive lanes first
+    dst_lanes = free_order[:M2]
+    n_free = jnp.sum(~pd["_active"])
+    take = rvalid_s[:M2] & (jnp.arange(M2) < n_free)
+    recv_overflow = jnp.sum(rvalid) - jnp.sum(take)
+
+    for k in lane_keys:
+        vals = rbuf[k][rorder][:M2]
+        old = pd[k][dst_lanes]
+        m = take if pd[k].ndim == 1 else take[:, None]
+        pd[k] = pd[k].at[dst_lanes].set(jnp.where(m, vals, old))
+    pd["_active"] = pd["_active"].at[dst_lanes].set(take | pd["_active"][dst_lanes])
+    return pd, (send_overflow + recv_overflow).astype(jnp.int32)
+
+
+def _migrate_all2all(pd: dict, dom: "YBandDomain", axis: str, n_dev: int, cap: int, farrays):
+    """Ownership-routed migration over ``lax.all_to_all`` (any-band hops).
+
+    Destination = the band whose ownership interval holds the particle
+    (latitude thresholds for rectilinear bands, global cell row for
+    curvilinear index-space bands); the halo diagnostics mirror the
+    neighbor-hop path.
+    """
+    main_i, main = dom._main_igrid, dom._grid_plans[dom._main_igrid]
+    dev = jax.lax.axis_index(axis)
+    edges_int = farrays["band_edges_int"]  # (n_dev - 1,) replicated
+
+    if dom.curvilinear:
+        viol = pd["_active"] & (pd["state"] == StatusCode.ErrorGridSearching)
+        pd["_haloof"] = pd["_haloof"] + jnp.sum(viol).astype(jnp.int32)
+        spec = main["spec"]
+        xdim, ydim_l = max(spec.xdim, 1), max(spec.ydim, 1)
+        h = dom.halo
+        s_all_main = farrays["grids"][main_i]["band_row_starts"]  # (n_dev,)
+        yi_local = (pd["ei"][:, main_i] // xdim) % ydim_l
+        grow = yi_local - h + s_all_main[dev]
+        dest = jnp.searchsorted(edges_int, grow, side="right").astype(jnp.int32)
+
+        def on_send(buf, dstbuf):
+            ei = buf["ei"]
+            cols = []
+            for g, plan in enumerate(dom._grid_plans):
+                col = ei[:, g]
+                if plan["banded"]:
+                    sp = plan["spec"]
+                    xd, yd = max(sp.xdim, 1), max(sp.ydim, 1)
+                    xi = col % xd
+                    yi = (col // xd) % yd
+                    zi = col // (xd * yd)
+                    s_g = farrays["grids"][g]["band_row_starts"]
+                    delta = s_g[jnp.clip(dstbuf, 0, n_dev - 1)] - s_g[dev]
+                    yi = jnp.clip(yi - delta, 0, yd - 1)
+                    col = (zi * yd + yi) * xd + xi
+                cols.append(col)
+            buf = dict(buf)
+            buf["ei"] = jnp.stack(cols, axis=1)
+            if "_sc_key" in buf:
+                buf["_sc_key"] = buf["_sc_key"].at[:, 0].set(-1)
+            return buf
+
+    else:
+        halo_lo = farrays.get("halo_lo")
+        halo_hi = farrays.get("halo_hi")
+        if halo_lo is not None:
+            viol = (
+                pd["_active"]
+                & (pd["state"] < MIN_ERROR_CODE)
+                & ((pd["y"] < halo_lo) | (pd["y"] > halo_hi))
+            )
+            pd["_haloof"] = pd["_haloof"] + jnp.sum(viol).astype(jnp.int32)
+        dest = jnp.searchsorted(edges_int, pd["y"], side="right").astype(jnp.int32)
+        on_send = None
+
+    mover = pd["_active"] & (dest != dev)
+    pd, of = _exchange_all2all(pd, mover, dest, axis, n_dev, cap, on_send=on_send)
+    pd["_migof"] = pd["_migof"] + of
+    return pd
+
+
 def _migrate(pd: dict, band_lo, band_hi, axis: str, n_dev: int, cap: int,
              halo_lo=None, halo_hi=None):
     """Hand off particles that crossed their band edge to the neighbor device.
@@ -922,6 +1087,8 @@ def build_domain_executor(
                     fsview, pd, endtime, dt0, kernel_fns, sign_dt, rk45_mode,
                     lockstep_w=lockstep_w,
                 )
+                if n_dev > 1 and dom.migration_mode == "all2all":
+                    return _migrate_all2all(pd, dom, axis, n_dev, cap, farrays)
                 if dom.curvilinear:
                     return _migrate_curvilinear(pd, dom, axis, n_dev, cap, farrays)
                 return _migrate(

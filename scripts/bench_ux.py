@@ -71,10 +71,7 @@ def run(fs, npart, steps, dt=120.0):
         (AdvectionRK4,), fs, sign_dt=1, rk45_mode=False, donate=False,
         block_size=npart // nblocks,
     )
-    farrays = {
-        "fields": {k: v.data for k, v in fs._field_arrays().items()},
-        "grids": [g.device_arrays() for g in fs._gridset],
-    }
+    farrays = fs.device_arrays()
 
     t0 = time.perf_counter()
     out = executor(farrays, pdata, jnp.float32(dt), jnp.float32(dt))
@@ -82,7 +79,7 @@ def run(fs, npart, steps, dt=120.0):
     compile_s = time.perf_counter() - t0
 
     def chunk(k):
-        o = executor(farrays, out, jnp.float32(dt * (k + 1) * steps), jnp.float32(dt))
+        o = executor(farrays, out, jnp.float32(dt * (1 + k * steps)), jnp.float32(dt))
         np.asarray(o["t"][:1])
         return o
 

@@ -586,3 +586,76 @@ def test_balanced_curvilinear_bands():
     xd, yd = _run(fs_dom2, x, y, AdvectionRK4, DAY, 600, domain=dom)
     np.testing.assert_allclose(xd, xs, rtol=1e-6, atol=0.5)
     np.testing.assert_allclose(yd, ys, rtol=1e-6, atol=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Ragged all_to_all migration (comm-backend generality, SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+def test_all2all_matches_neighbor_uniform_bands():
+    """Forced all2all on uniform bands reproduces the ppermute-hop result."""
+    fs_a = _uniform_flow_fieldset(0.0, 10.0)
+    fs_b = _uniform_flow_fieldset(0.0, 10.0)
+    rng = np.random.default_rng(21)
+    x = rng.uniform(-9e5, 9e5, 64)
+    y = rng.uniform(-9e5, -5e5, 64)
+    xa, ya = _run(fs_a, x, y, AdvectionRK4, DAY, 600,
+                  domain=YBandDomain(fs_a, n_bands=8, halo=2, migration="neighbor"))
+    xb, yb = _run(fs_b, x, y, AdvectionRK4, DAY, 600,
+                  domain=YBandDomain(fs_b, n_bands=8, halo=2, migration="all2all"))
+    np.testing.assert_array_equal(xb, xa)
+    np.testing.assert_array_equal(yb, ya)
+
+
+def test_all2all_curvilinear_matches_neighbor():
+    """Curvilinear index-space bands: all2all rebase == neighbor rebase."""
+    from parcels_tpu.datasets import curvilinear_rotated_dataset
+
+    def build():
+        ds = curvilinear_rotated_dataset(xdim=200, ydim=64)
+        return FieldSet.from_sgrid_conventions(ds, mesh="flat")
+
+    rng = np.random.default_rng(23)
+    n = 32
+    th = np.deg2rad(30.0)
+    sx = rng.uniform(5e3, 5e4, n)
+    sy = rng.uniform(45e3, 58e3, n)
+    x = np.cos(th) * sx - np.sin(th) * sy
+    y = np.sin(th) * sx + np.cos(th) * sy
+
+    fs_a = build()
+    xa, ya = _run(fs_a, x, y, AdvectionRK4, DAY, 600,
+                  domain=YBandDomain(fs_a, n_bands=8, halo=3, migration="neighbor"))
+    fs_b = build()
+    xb, yb = _run(fs_b, x, y, AdvectionRK4, DAY, 600,
+                  domain=YBandDomain(fs_b, n_bands=8, halo=3, migration="all2all"))
+    np.testing.assert_allclose(xb, xa, rtol=1e-6, atol=1e-3)
+    np.testing.assert_allclose(yb, ya, rtol=1e-6, atol=1e-3)
+
+
+def test_all2all_delivers_multiband_crossers():
+    """A step displacement spanning >1 (narrow) band: the ±1 neighbor hop
+    cannot keep up (halo breach), all_to_all delivers directly and holds
+    the closed form — the case load-balanced narrow bands create."""
+    # bands rows: [0,12) big, then six 1-row bands, rest big — seeds start
+    # south and sweep through the narrow bands at ~2.2 bands per step
+    edges = np.array([0, 12, 13, 14, 15, 16, 17, 18, 31])
+    n = 24
+    rng = np.random.default_rng(29)
+    x = rng.uniform(-8e5, 8e5, n)
+    y = rng.uniform(-3.1e5, -2.7e5, n)  # inside band 0, near its top edge
+    dt_s, steps = 14400, 8  # 144 km/step vs 64.5 km bands; halo 3 covers
+
+    fs_ref = _uniform_flow_fieldset(0.0, 10.0)
+    xs, ys = _run(fs_ref, x, y, AdvectionRK4, dt_s * steps, dt_s)
+
+    fs_a2a = _uniform_flow_fieldset(0.0, 10.0)
+    dom = YBandDomain(
+        fs_a2a, n_bands=8, halo=3, row_edges=edges,
+        migration="all2all", headroom=8.0, migration_capacity=64,
+    )
+    assert dom.migration_mode == "all2all"
+    xd, yd = _run(fs_a2a, x, y, AdvectionRK4, dt_s * steps, dt_s, domain=dom)
+    np.testing.assert_allclose(yd, ys, rtol=1e-6, atol=0.2)
+    np.testing.assert_allclose(xd, xs, rtol=1e-6, atol=0.2)
