@@ -451,8 +451,8 @@ def ux_search(
         seed = tbl[ry, rx]
         fi = jnp.where(hit0, fi0, jnp.clip(seed, 0, nf - 1))
 
-        def body(_, carry):
-            fi, bc, found, hit_boundary = carry
+        def body(carry):
+            i, fi, bc, found, hit_boundary = carry
             k = jnp.argmin(bc, axis=-1)
             if ftbl is not None:
                 nxt = uxcol.adj_from_rows(
@@ -466,12 +466,23 @@ def ux_search(
             bc_new = bary(fi_new)
             found_new = found | _in_cell(bc_new)
             bc = jnp.where(found[:, None], bc, bc_new)
-            return fi_new, bc, found_new, hit_boundary
+            return i + 1, fi_new, bc, found_new, hit_boundary
+
+        def cond(carry):
+            # early exit: warm-started misses cross into an ADJACENT face,
+            # so the overwhelmingly common case is 1-2 hops — a fixed
+            # 16-trip loop at batch scale was the dominant ux cost (and at
+            # FESOM2 scale produced the minutes-long device programs of
+            # the worker-crash class)
+            i, _, _, found, hit_b = carry
+            return (i < n_walk) & jnp.any(~found & ~hit_b)
 
         bc = bary(fi)
         found = _in_cell(bc)
         hit_b = jnp.zeros(y.shape, dtype=bool)
-        fi, bc, found, hit_b = jax.lax.fori_loop(0, n_walk, body, (fi, bc, found, hit_b))
+        _, fi, bc, found, hit_b = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), fi, bc, found, hit_b)
+        )
         fi = jnp.where(
             found,
             fi,

@@ -78,17 +78,20 @@ def run(fs, npart, steps, dt=120.0):
     np.asarray(out["t"][:1])
     compile_s = time.perf_counter() - t0
 
-    def chunk(k):
-        o = executor(farrays, out, jnp.float32(dt * (1 + k * steps)), jnp.float32(dt))
+    # SINGLE-step launches: the gather tier runs seconds per step at
+    # FESOM2 scale, and a 10-step single launch lands squarely in the
+    # long-program worker-crash class the adaptive chunker exists to
+    # prevent (this bench drives the executor directly, bypassing it)
+    def run_steps(k0, nsteps):
+        t0 = time.perf_counter()
+        o = out
+        for s in range(nsteps):
+            o = executor(farrays, o, jnp.float32(dt * (k0 + s + 1)), jnp.float32(dt))
         np.asarray(o["t"][:1])
-        return o
+        return time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    chunk(1)
-    t_a = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    chunk(2)
-    t_b = time.perf_counter() - t0
+    t_a = run_steps(0, steps)
+    t_b = run_steps(steps, steps)
     best = min(t_a, t_b)
     rate = npart * steps / best
     print(
