@@ -48,6 +48,10 @@ class EngineOptions:
         C-grid RK-stage cell cache (``ops/stagecache.py``).
         ``"auto"``/``"force"``/``"off"``. Maps to
         ``PARCELS_TPU_STAGECACHE``.
+    uxcol:
+        Unstructured corner-row tier (``ops/uxcol.py``: fused face rows +
+        node/face column tables). ``"auto"``/``"force"``/``"off"``. Maps
+        to ``PARCELS_TPU_UXCOL``.
     stagecache_persist:
         Persist the cell cache across steps in the particle SoA
         (64 B/lane; disable as a memory escape hatch on a single chip at
@@ -72,6 +76,7 @@ class EngineOptions:
     sampler: str = "auto"
     colgather: str = "auto"
     stagecache: str = "auto"
+    uxcol: str = "auto"
     stagecache_persist: bool = True
     max_chunk_steps: int = 64
     chunk_target_seconds: float = 20.0
@@ -81,7 +86,7 @@ class EngineOptions:
             raise ValueError(
                 f"sampler must be one of {sorted(_SAMPLER_TO_ENV)}. Got {self.sampler!r}"
             )
-        for name in ("colgather", "stagecache"):
+        for name in ("colgather", "stagecache", "uxcol"):
             v = getattr(self, name)
             if v not in _TRISTATE:
                 raise ValueError(f"{name} must be one of {_TRISTATE}. Got {v!r}")
@@ -104,6 +109,7 @@ class EngineOptions:
             "PARCELS_TPU_BINNED": _SAMPLER_TO_ENV[self.sampler],
             "PARCELS_TPU_COLGATHER": self.colgather,
             "PARCELS_TPU_STAGECACHE": self.stagecache,
+            "PARCELS_TPU_UXCOL": self.uxcol,
             "PARCELS_TPU_STAGECACHE_PERSIST": "1" if self.stagecache_persist else "0",
             "PARCELS_TPU_MAX_CHUNK_STEPS": str(self.max_chunk_steps),
             "PARCELS_TPU_CHUNK_TARGET_SECONDS": str(self.chunk_target_seconds),
