@@ -564,9 +564,11 @@ class FieldSet:
                 else:
                     arr = jnp.asarray(data.astype(np.float32) if data.dtype.kind == "f" else data)
                 farrays["fields"][name] = arr
-        from parcels_tpu.ops.stagecache import attach_derived_tables
-
-        attach_derived_tables(self, farrays)
+        # NO eager table attach here (unlike device_arrays): window slabs
+        # are built on the PREFETCH THREAD, and eager device transposes
+        # from a second thread serialize against the running chunk —
+        # measured 2.5x slower streamed config-5. The executor builds the
+        # tables in-trace instead, amortized over the window's 36+ steps.
         object.__setattr__(self, "window_stats", stats)
         return farrays
 

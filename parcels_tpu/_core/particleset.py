@@ -585,15 +585,21 @@ class ParticleSet:
                 )
                 if adaptive:
                     # the 4-byte error pull above was the first device sync,
-                    # so the wall span covers the whole launch. The first
-                    # launch includes compilation — its inflated estimate
-                    # only makes the next chunk conservative, and the EWMA
-                    # washes it out within a few chunks.
+                    # so the wall span covers the whole launch. The FIRST
+                    # launch is excluded from the model: it includes
+                    # compilation (minutes at scale), and seeding the EWMA
+                    # with it forced ~10 one-step recovery chunks whose
+                    # per-launch host syncs dominated short runs.
                     launch_wall = _time.perf_counter() - launch_t0
-                    steps_done = max(1, round(abs(next_time - time) / abs(dt)))
-                    w = launch_wall / steps_done
-                    est_per_step = w if est_per_step is None else 0.5 * est_per_step + 0.5 * w
-                    cur_chunk = max(1, min(max_chunk, int(target_s / est_per_step)))
+                    if nchunks == 0:
+                        pass  # compile-bearing probe: keep the probe length
+                    else:
+                        steps_done = max(1, round(abs(next_time - time) / abs(dt)))
+                        w = launch_wall / steps_done
+                        est_per_step = (
+                            w if est_per_step is None else 0.5 * est_per_step + 0.5 * w
+                        )
+                        cur_chunk = max(1, min(max_chunk, int(target_s / est_per_step)))
                 # domain-decomposition diagnostics outrank per-particle state
                 # errors: a halo/buffer breach invalidates the interpolation
                 # that produced those states in the first place
