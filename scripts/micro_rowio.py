@@ -19,7 +19,6 @@ Run: python scripts/micro_rowio.py  (env: N, CELLS)
 import os
 import sys
 import time
-from functools import partial
 
 _d = os.path.dirname(os.path.abspath(__file__))
 sys.path[:0] = [_d, os.path.dirname(_d)]  # scripts dir + repo root

@@ -3,12 +3,9 @@ at the config-5 shape — tunnel-variance-immune A/B for the rounds design."""
 
 import os
 import sys
-import time
 
 _d = os.path.dirname(os.path.abspath(__file__))
 sys.path[:0] = [_d, os.path.dirname(_d)]  # scripts dir + repo root
-
-import numpy as np
 
 import bench_config5 as c5
 
