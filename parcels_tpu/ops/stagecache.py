@@ -153,6 +153,27 @@ def attach_derived_tables(fieldset, farrays) -> None:
     # synced before the next so only one transpose's transient is live —
     # overlapping 1.12 GiB transients tipped the full config-5 shape into
     # ResourceExhausted.
+    #
+    # The ROW-MAJOR device_put below is the whole point: an eager
+    # jnp.moveaxis result keeps the SOURCE's physical layout (the
+    # "transpose" is lazy — compiled HLO showed the tables entering as
+    # column-major parameters and the chunk program re-copying each to
+    # row-major EVERY call: 2 x 227 ms + 59 ms at config-5). Forcing
+    # major_to_minor=(0, 1) materializes the physical transpose once here
+    # and the executor adopts the parameter layout copy-free.
+    def _row_major(tbl):
+        try:
+            from jax.experimental.layout import Format, Layout
+            from jax.sharding import SingleDeviceSharding
+
+            fmt = Format(
+                Layout(major_to_minor=tuple(range(tbl.ndim))),
+                SingleDeviceSharding(next(iter(tbl.devices()))),
+            )
+            return jax.block_until_ready(jax.device_put(tbl, fmt))
+        except Exception:  # noqa: BLE001 - layout API drift: fall back
+            return jax.block_until_ready(tbl)
+
     colt = farrays.setdefault("coltables", {})
     cellt = farrays.setdefault("celltables", {})
     for name, f in fieldset.fields.items():
@@ -164,7 +185,7 @@ def attach_derived_tables(fieldset, farrays) -> None:
         if data.ndim == 4 and colgather_usable(data.shape):
             T, Z, Y, X = data.shape
             tbl = jnp.moveaxis(data.reshape(T * Z, Y * X), 0, -1)
-            colt[name] = jax.block_until_ready(tbl)
+            colt[name] = _row_major(tbl)
         elif data.ndim == 3 and uxcol.col_usable(data.shape) and uxcol.enabled(
             getattr(f.grid.spec, "n_face", 0)
         ):
@@ -172,7 +193,7 @@ def attach_derived_tables(fieldset, farrays) -> None:
             tbl = jnp.moveaxis(data.reshape(T * Z, N), 0, -1)
             if T * Z < uxcol.ROW_WIDTH:
                 tbl = jnp.pad(tbl, ((0, 0), (0, uxcol.ROW_WIDTH - T * Z)))
-            colt[name] = jax.block_until_ready(tbl)
+            colt[name] = _row_major(tbl)
     if _mode() not in ("0", "off"):
         for f in fieldset.fields.values():
             if not (
@@ -191,7 +212,7 @@ def attach_derived_tables(fieldset, farrays) -> None:
             tbl = jnp.concatenate(
                 [pic, garrs["cgrid_geom"], jnp.zeros((cells, pad), pic.dtype)], axis=1
             )
-            cellt[ig] = jax.block_until_ready(tbl)
+            cellt[ig] = _row_major(tbl)
 
 
 def prebuild_tables(fsview) -> None:
