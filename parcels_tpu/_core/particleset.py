@@ -458,6 +458,10 @@ class ParticleSet:
 
             key = (
                 tuple(kernels), sign_dt, rk45_mode, "domain", lockstep_w, id(domain),
+                # the resolved migration transport is baked into the trace
+                # (domain.py build_domain_executor); set_row_edges() can flip
+                # it uniform->non-uniform, so it must key the cache (ADVICE r4)
+                domain.migration_mode,
                 opts.resolved_key(),
             )
             cache = self.fieldset._executor_cache
@@ -564,12 +568,17 @@ class ParticleSet:
                         farrays = self.fieldset.windowed_arrays(time, next_time)
                 launch_t0 = _time.perf_counter()
                 dev = executor(farrays, dev, np.float32(next_time), np.float32(dt))
+                prefetch_host = 0.0
                 if windowed and sign_dt * (next_time - end_time) < 0:
                     # stage the next window while the chunk runs on device;
                     # forward chunks anchor exactly at next_time, backward
                     # ones at an estimate (misprediction = harmless sync load)
                     anchor = next_time if sign_dt > 0 else next_time + (next_time - time)
+                    p0 = _time.perf_counter()
                     (domain or self.fieldset).prefetch_window(anchor)
+                    # host-side staging time overlaps device compute; charge
+                    # it to the prefetcher, not the cost model (ADVICE r4)
+                    prefetch_host = _time.perf_counter() - p0
 
                 # device-side 4-byte error predicate: pulling the full (n,)
                 # state/active arrays every chunk costs real wall time at
@@ -590,11 +599,13 @@ class ParticleSet:
                     # compilation (minutes at scale), and seeding the EWMA
                     # with it forced ~10 one-step recovery chunks whose
                     # per-launch host syncs dominated short runs.
-                    launch_wall = _time.perf_counter() - launch_t0
+                    launch_wall = _time.perf_counter() - launch_t0 - prefetch_host
                     if nchunks == 0:
                         pass  # compile-bearing probe: keep the probe length
                     else:
-                        steps_done = max(1, round(abs(next_time - time) / abs(dt)))
+                        steps_done = max(
+                            1, round(abs(float(next_time) - float(time)) / abs(dt))
+                        )
                         w = launch_wall / steps_done
                         est_per_step = (
                             w if est_per_step is None else 0.5 * est_per_step + 0.5 * w

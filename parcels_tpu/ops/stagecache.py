@@ -145,6 +145,7 @@ def attach_derived_tables(fieldset, farrays) -> None:
     from parcels_tpu._core.field import Field, VectorField
     from parcels_tpu.interpolators.xinterp import CGrid_Velocity
     from parcels_tpu.ops import uxcol
+    from parcels_tpu.ops.colgather import _mode as _colgather_mode
     from parcels_tpu.ops.colgather import colgather_table, colgather_usable
 
     # Eager builds need NO optimization_barrier (that pin only matters
@@ -182,7 +183,15 @@ def attach_derived_tables(fieldset, farrays) -> None:
         data = farrays["fields"].get(name)
         if data is None:
             continue
-        if data.ndim == 4 and colgather_usable(data.shape):
+        if (
+            data.ndim == 4
+            and colgather_usable(data.shape)
+            # honor the documented escape hatches: with BOTH colgather and
+            # the stagecache (its only consumers) off, shipping a second
+            # full-field table would double field memory exactly in the
+            # OOM-margin configs the hatches exist for (ADVICE r4)
+            and (_colgather_mode() not in ("0", "off") or _mode() not in ("0", "off"))
+        ):
             T, Z, Y, X = data.shape
             tbl = jnp.moveaxis(data.reshape(T * Z, Y * X), 0, -1)
             colt[name] = _row_major(tbl)

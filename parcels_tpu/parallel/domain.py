@@ -96,6 +96,7 @@ class YBandDomain:
         axis: str = "bands",
         row_edges=None,
         migration: str = "auto",
+        slab_headroom: int = 0,
     ):
         if migration not in ("auto", "neighbor", "all2all"):
             raise ValueError(
@@ -111,6 +112,11 @@ class YBandDomain:
         self.mesh = Mesh(np.asarray(devices), (axis,))
         self.halo = int(halo)
         self.headroom = float(headroom)
+        #: extra slab rows beyond the initial partition's widest band, so
+        #: rebalance() can grow a band without hitting the compiled-shape
+        #: lock (with 0 and uniform edges that divide ydim, rebalance can
+        #: only reproduce the uniform partition — ADVICE r4)
+        self.slab_headroom = int(slab_headroom)
         self.migration_capacity = migration_capacity
         self.fieldset = fieldset
         self._stacked_cache = None
@@ -138,19 +144,33 @@ class YBandDomain:
         return "all2all" if np.any(own != own[0]) else "neighbor"
 
     def _edges_for(self, ydim: int):
-        """Validated per-grid row edges: the custom partition when it
-        matches this grid's ydim, else the uniform default (as edges)."""
+        """Per-grid row edges from the custom partition (validated against
+        the MAIN banded grid in ``_build_plans``): the partition verbatim
+        when this grid's ydim matches the main grid's, proportionally
+        rescaled when it differs (so band b covers the same y-range of the
+        domain on every banded grid), uniform when no custom partition."""
         n = self.n
         r = self._row_edges
-        if r is not None and r[-1] == ydim:
-            if len(r) != n + 1 or r[0] != 0 or np.any(np.diff(r) < 1):
-                raise ValueError(
-                    f"row_edges must be {n + 1} monotone ints from 0 to ydim "
-                    f"with at least 1 row per band. Got {r}."
-                )
+        if r is None:
+            Yb = math.ceil(ydim / n)
+            return Yb * np.arange(n + 1, dtype=np.int64)
+        if r[-1] == ydim:
             return r.copy()
-        Yb = math.ceil(ydim / n)
-        return Yb * np.arange(n + 1, dtype=np.int64)
+        # differing resolution: scale the main-grid partition onto this
+        # grid's rows, keeping >= 1 row per band and the exact endpoints
+        main_ydim = int(r[-1])
+        scaled = np.round(r.astype(np.float64) * (ydim / main_ydim)).astype(np.int64)
+        scaled[0], scaled[-1] = 0, ydim
+        for i in range(1, n + 1):  # forward: monotone, >= 1 row
+            scaled[i] = max(scaled[i], scaled[i - 1] + 1)
+        for i in range(n, 0, -1):  # backward: keep the top end feasible
+            scaled[i - 1] = min(scaled[i - 1], scaled[i] - 1)
+        if scaled[0] != 0 or np.any(np.diff(scaled) < 1):
+            raise ValueError(
+                f"row_edges {r} cannot be rescaled onto a banded grid with "
+                f"ydim={ydim} ({n} bands need at least {n} rows)."
+            )
+        return scaled
 
     def _locked_Yl(self, igrid: int, computed: int) -> int:
         """Slab rows for banded grid ``igrid``: first build locks the size;
@@ -158,6 +178,7 @@ class YBandDomain:
         refuse larger ones (the executor's compiled shapes must hold)."""
         lock = self._Yl_locks.get(igrid)
         if lock is None:
+            computed += self.slab_headroom
             self._Yl_locks[igrid] = computed
             return computed
         if computed > lock:
@@ -170,6 +191,29 @@ class YBandDomain:
     def _build_plans(self):
         fieldset = self.fieldset
         h, n = self.halo, self.n
+        if self._row_edges is not None:
+            # validate the custom partition against the MAIN banded grid
+            # (first band-eligible grid) — a mis-sized partition must fail
+            # loudly, not silently fall back to uniform edges (ADVICE r4)
+            r = self._row_edges
+            eligible = [
+                g.spec.ydim
+                for g in fieldset.gridset
+                if "Y" in getattr(g.spec, "axes", ()) and g.spec.ydim >= n
+            ]
+            main_ydim = eligible[0] if eligible else None
+            if (
+                main_ydim is None
+                or len(r) != n + 1
+                or r[0] != 0
+                or r[-1] != main_ydim
+                or np.any(np.diff(r) < 1)
+            ):
+                raise ValueError(
+                    f"row_edges must be {n + 1} monotone ints from 0 to the "
+                    f"main banded grid's ydim ({main_ydim}) with at least 1 "
+                    f"row per band. Got {r}."
+                )
         self._grid_plans: list[dict] = []
         banded_any = False
         for grid in fieldset.gridset:
@@ -663,8 +707,23 @@ class YBandDomain:
         travels through farrays. Re-shard the SoA afterwards
         (``shard_soa``; ``ParticleSet.execute`` does so on entry).
         Returns the new edges.
+
+        With default uniform edges that exactly divide ydim, the first
+        build locks the slab at the uniform band height and no edge can
+        move — construct with ``slab_headroom=`` (extra rows) or
+        ``row_edges=balanced_row_edges(...)`` to give rebalance room.
         """
         max_rows = int(self._Yl_locks[self._main_igrid]) - 2 * self.halo
+        main_ydim = int(self._grid_plans[self._main_igrid]["grid"].spec.ydim)
+        if max_rows * self.n <= main_ydim:
+            import warnings
+
+            warnings.warn(
+                f"rebalance(): the compiled slab lock ({max_rows} rows/band x "
+                f"{self.n} bands) leaves no room to move any edge on "
+                f"ydim={main_ydim}; pass slab_headroom= at construction.",
+                stacklevel=2,
+            )
         edges = self.balanced_row_edges(y, x, max_rows=max_rows)
         self.set_row_edges(edges)
         return edges
