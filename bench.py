@@ -306,6 +306,13 @@ def main():
         c5_base = bench_numpy_config5_style(
             int(os.environ.get("PARCELS_BENCH_C5_BASE_NPART", 200_000)), 3
         )
+        # measured bytes/particle-step of the ACTUAL chunk program at this
+        # shape, from the r5 device trace (scripts/trace_config5.py +
+        # analyze_trace.py: 144 GiB over 8 steps x 2M lanes — loop-carried
+        # SoA + stage-cache state re-materialized across RK stages dominates;
+        # the 400 B figure is the min-FIELD-traffic model only). See
+        # BASELINE.md "Honest HBM roofline (round 5)".
+        bytes_measured = float(os.environ.get("PARCELS_BENCH_C5_BYTES_MEASURED", 9662))
         # min-traffic model: 400 B/particle-step for C-grid RK4 with the
         # geometry table (scripts/bench_config5.py module docstring); the
         # roofline share tracks the perf-depth gap round over round
@@ -321,8 +328,14 @@ def main():
                     "vs_baseline": round(c5_rate / c5_base, 2),
                     "baseline_steps_per_s": round(c5_base, 1),
                     "bytes_per_step_model": GATHER_BYTES_PER_STEP,
+                    "bytes_per_step_measured": bytes_measured,
                     "hbm_bw_measured_GBps": round(hbm_bw / 1e9, 1),
+                    # % of the chip's measured streamed bandwidth the real
+                    # program's measured traffic implies at this rate
                     "pct_hbm_roofline": round(
+                        100.0 * c5_rate * bytes_measured / hbm_bw, 2
+                    ),
+                    "pct_min_field_traffic_model": round(
                         100.0 * c5_rate * GATHER_BYTES_PER_STEP / hbm_bw, 2
                     ),
                 }

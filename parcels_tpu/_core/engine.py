@@ -95,7 +95,7 @@ def _soa_sortable(pdata) -> bool:
     )
 
 
-def _permute_soa(pdata, order):
+def _permute_soa(pdata, order, pad64=False):
     """Reorder every per-particle array by ``order`` with ONE packed row-gather.
 
     Per-column takes cost ~7x more than a single (n, C) row gather on TPU
@@ -125,20 +125,39 @@ def _permute_soa(pdata, order):
             for i in range(v.shape[1]):
                 cols.append(enc(v[:, i]))
             meta.append((k, dec, v.shape[1], 2))
-    mat = jnp.stack(cols, axis=1)
-    mat = jnp.take(mat, order, axis=0)
+    n = cols[0].shape[0]
+    # CHUNK-BOUNDARY permutes pad to 64-wide rows and round-trip through a
+    # flat 1-D barrier: the 1-D array has a unique layout, the reshape back
+    # to (n, 64) is only free as row-major, and TPU row gathers hit a fast
+    # DMA path at exactly 64 f32/row (2.1x vs the unpadded take, whose
+    # operand XLA lays out column-major to make the stack free — 26
+    # granules per gathered row; scripts/micro_permute.py, r5). The pad
+    # triples the transient (stack + barrier copy + gather out), so it is
+    # OFF inside the step loop's resort cond (branch copies doubled it
+    # again: measured OOM at 2M x config-5) and above 4M lanes.
+    if pad64 and n <= 4_000_000 and len(cols) <= 64:
+        C, G = len(cols), 64
+        grp = cols + [jnp.zeros_like(cols[0])] * (G - C)
+        mat = jnp.stack(grp, axis=1)
+        flat = jax.lax.optimization_barrier(mat.reshape(-1))
+        mat = jnp.take(flat.reshape(n, G), order, axis=0)
+        gathered = [mat[:, i] for i in range(C)]
+    else:
+        mat = jnp.stack(cols, axis=1)
+        mat = jnp.take(mat, order, axis=0)
+        gathered = [mat[:, i] for i in range(len(cols))]
     out = dict(pdata)
     c = 0
     for k, dec, w, ndim in meta:
         if ndim == 1:
-            out[k] = dec(mat[:, c])
+            out[k] = dec(gathered[c])
         else:
-            out[k] = dec(jnp.stack([mat[:, c + i] for i in range(w)], axis=1))
+            out[k] = dec(jnp.stack(gathered[c : c + w], axis=1))
         c += w
     return out
 
 
-def _sort_soa(fsview, sort_field_name, pdata, z_occ=None):
+def _sort_soa(fsview, sort_field_name, pdata, z_occ=None, pad64=False):
     """Sort the SoA by the spatial bin of the cached cell index; returns (pdata, order).
 
     The bin comes from the SoA's ``ei`` cache (updated at every field sample,
@@ -167,13 +186,13 @@ def _sort_soa(fsview, sort_field_name, pdata, z_occ=None):
     # inactive lanes sort to the end (their positions may be stale)
     key = jnp.where(pdata["_active"], key, jnp.int32(2**31 - 1))
     _, order = jax.lax.sort_key_val(key, iota)
-    return _permute_soa(pdata, order), order
+    return _permute_soa(pdata, order, pad64=pad64), order
 
 
-def _unsort_soa(pdata, order):
+def _unsort_soa(pdata, order, pad64=False):
     n = order.shape[0]
     inv = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
-    return _permute_soa(pdata, inv)
+    return _permute_soa(pdata, inv, pad64=pad64)
 
 
 def build_chunk_executor(
@@ -233,14 +252,14 @@ def build_chunk_executor(
             # final unsort works whatever permutation the inner loop applied
             pdata = dict(pdata)
             pdata["_ord"] = jnp.arange(pdata["state"].shape[0], dtype=jnp.int32)
-            pdata, _ = _sort_soa(fsview, sort_field_name, pdata, z_occ)
+            pdata, _ = _sort_soa(fsview, sort_field_name, pdata, z_occ, pad64=True)
             if RESORT_EVERY > 0:
                 resort = lambda pd: _sort_soa(fsview, sort_field_name, pd, z_occ)[0]
 
         def finish(out):
             if not sorting:
                 return out
-            return _unsort_soa(out, out.pop("_ord"))
+            return _unsort_soa(out, out.pop("_ord"), pad64=True)
 
         n = pdata["state"].shape[0]
         if n <= block_size:
