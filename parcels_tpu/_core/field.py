@@ -164,7 +164,10 @@ class GridView:
 
 
 class FieldView:
-    __slots__ = ("name", "data", "grid", "igrid", "interp_method", "has_time", "_col_table")
+    __slots__ = (
+        "name", "data", "grid", "igrid", "interp_method", "has_time",
+        "_col_table", "_colT_table",
+    )
 
     def __init__(self, name, data, grid: GridView, igrid, interp_method, has_time):
         self.name = name
@@ -174,6 +177,7 @@ class FieldView:
         self.interp_method = interp_method
         self.has_time = has_time
         self._col_table = None
+        self._colT_table = None
 
     def col_table(self):
         """Cached (Y*X, T*Z) corner-column table (ops/colgather.py): one
@@ -199,7 +203,7 @@ class FieldView:
 class VectorFieldView:
     __slots__ = (
         "name", "U", "V", "W", "grid", "igrid", "interp_method", "vector_type",
-        "_stage_cache", "_sc_owner", "_cell_table",
+        "_stage_cache", "_sc_owner", "_cell_table", "_uv_colT",
     )
 
     def __init__(self, name, U, V, W, interp_method, sc_owner=False):
@@ -220,12 +224,16 @@ class VectorFieldView:
         # fused per-cell [pic | geometry] row table (stagecache.cell_table),
         # built once per chunk trace
         self._cell_table = None
+        # fused [U | V] per-(node, time) z-row table (uxcol.ux_colT_uv_table)
+        self._uv_colT = None
 
     def eval(self, t, z, y, x, particles: Particles | None = None):
-        from parcels_tpu.ops import stagecache
+        from parcels_tpu.ops import stagecache, uxcache
 
         if stagecache.enabled(self):
             return stagecache.cgrid_cached_eval(self, t, z, y, x, particles)
+        if uxcache.enabled(self):
+            return uxcache.ux_cached_eval(self, t, z, y, x, particles)
         ppos, gpos = _get_positions(self.U, t, z, y, x, particles)
         u, v, w = self.interp_method.interp(ppos, gpos, self)
         if particles is not None:

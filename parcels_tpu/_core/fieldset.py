@@ -665,8 +665,10 @@ class FieldSet:
                     # per chunk trace (a ~453 ms/chunk transpose at config-5)
                     views[name]._col_table = coltables[name]
         from parcels_tpu.ops.stagecache import soa_cache_owner
+        from parcels_tpu.ops.uxcache import soa_cache_owner as ux_cache_owner
 
         sc_owner, _ = soa_cache_owner(self)
+        uxc_owner, _ = ux_cache_owner(self)
         for name, f in self._fields.items():
             if isinstance(f, VectorField):
                 views[name] = VectorFieldView(
@@ -675,7 +677,7 @@ class FieldSet:
                     views[f.V.name],
                     views[f.W.name] if f.W is not None else None,
                     f.interp_method,
-                    sc_owner=(name == sc_owner),
+                    sc_owner=(name == sc_owner or name == uxc_owner),
                 )
                 if f.igrid in celltables:
                     views[name]._cell_table = celltables[f.igrid]

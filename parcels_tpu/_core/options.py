@@ -52,6 +52,10 @@ class EngineOptions:
         Unstructured corner-row tier (``ops/uxcol.py``: fused face rows +
         node/face column tables). ``"auto"``/``"force"``/``"off"``. Maps
         to ``PARCELS_TPU_UXCOL``.
+    uxcache:
+        Unstructured per-face RK-stage cache (``ops/uxcache.py``: cached
+        face + corner values in the SoA, compacted walk rounds on miss).
+        ``"auto"``/``"force"``/``"off"``. Maps to ``PARCELS_TPU_UXCACHE``.
     stagecache_persist:
         Persist the cell cache across steps in the particle SoA
         (64 B/lane; disable as a memory escape hatch on a single chip at
@@ -77,6 +81,7 @@ class EngineOptions:
     colgather: str = "auto"
     stagecache: str = "auto"
     uxcol: str = "auto"
+    uxcache: str = "auto"
     stagecache_persist: bool = True
     max_chunk_steps: int = 64
     chunk_target_seconds: float = 20.0
@@ -86,7 +91,7 @@ class EngineOptions:
             raise ValueError(
                 f"sampler must be one of {sorted(_SAMPLER_TO_ENV)}. Got {self.sampler!r}"
             )
-        for name in ("colgather", "stagecache", "uxcol"):
+        for name in ("colgather", "stagecache", "uxcol", "uxcache"):
             v = getattr(self, name)
             if v not in _TRISTATE:
                 raise ValueError(f"{name} must be one of {_TRISTATE}. Got {v!r}")
@@ -110,6 +115,7 @@ class EngineOptions:
             "PARCELS_TPU_COLGATHER": self.colgather,
             "PARCELS_TPU_STAGECACHE": self.stagecache,
             "PARCELS_TPU_UXCOL": self.uxcol,
+            "PARCELS_TPU_UXCACHE": self.uxcache,
             "PARCELS_TPU_STAGECACHE_PERSIST": "1" if self.stagecache_persist else "0",
             "PARCELS_TPU_MAX_CHUNK_STEPS": str(self.max_chunk_steps),
             "PARCELS_TPU_CHUNK_TARGET_SECONDS": str(self.chunk_target_seconds),

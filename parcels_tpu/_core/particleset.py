@@ -450,6 +450,14 @@ class ParticleSet:
             self._data.update(
                 _sc.make_soa_cache(np.asarray(self._data["state"]).shape[0], sc_w)
             )
+        # unstructured twin: persistent per-face cache columns (ops/uxcache.py)
+        from parcels_tpu.ops import uxcache as _uxc
+
+        uxc_ok, uxc_meta = _uxc.soa_cache_applicable(self.fieldset)
+        if uxc_ok and _uxc.UXC_KEY not in self._data:
+            self._data.update(
+                _uxc.make_soa_cache(np.asarray(self._data["state"]).shape[0], uxc_meta)
+            )
         pmesh = getattr(self, "_pmesh", None)
         domain = getattr(self, "_domain", None)
         windowed = self.fieldset._time_window is not None

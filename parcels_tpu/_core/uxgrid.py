@@ -379,6 +379,179 @@ def _in_cell(bc):
     return ok & jnp.isclose(jnp.sum(bc, axis=-1), 1.0, rtol=1e-3, atol=1e-6)
 
 
+def _walk_loop(spec, garrs, pts, fi, bc, found, hit_b, max_hops):
+    """Core adjacency-walk while_loop on one (sub-)batch; early-exits as
+    soon as every lane is found or stuck on the mesh boundary.
+
+    The carry holds the CURRENT face's adjacency triple and the three
+    barycentric coordinates as independent (n,) vectors: one fused-row
+    take per hop (the adjacent-face ids ride the row just taken for the
+    barycentric check; a (n, 3) tiled-layout carry cost an extra
+    full-batch slice pass per hop — r5 device trace).
+    """
+    from parcels_tpu.ops import uxcol
+
+    nf = spec.n_face
+    adj = garrs["adj"]
+    ftbl = garrs.get("face_table")
+
+    if ftbl is None:
+        # CPU/gather fallback: original compact carry, conn-array barys
+        def bary(f):
+            return _bary_coords(garrs, f, pts, spec.spherical)
+
+        def body(carry):
+            i, fi, bc, found, hit_boundary = carry
+            k = jnp.argmin(bc, axis=-1)
+            nxt = adj[jnp.clip(fi, 0, nf - 1), k]
+            move = ~found & (nxt >= 0)
+            hit_boundary = hit_boundary | (~found & (nxt < 0))
+            fi_new = jnp.where(move, nxt, fi)
+            bc_new = bary(fi_new)
+            found_new = found | _in_cell(bc_new)
+            bc = jnp.where(found[:, None], bc, bc_new)
+            return i + 1, fi_new, bc, found_new, hit_boundary
+
+        def cond(carry):
+            i, _, _, found, hit_b = carry
+            return (i < max_hops) & jnp.any(~found & ~hit_b)
+
+        _, fi, bc, found, hit_b = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), fi, bc, found, hit_b)
+        )
+        return fi, bc, found, hit_b
+
+    def split3(a2d):
+        return a2d[:, 0], a2d[:, 1], a2d[:, 2]
+
+    row0 = uxcol.face_rows(ftbl, fi)
+    a0, a1, a2 = split3(
+        jax.lax.bitcast_convert_type(row0[:, uxcol._ADJ : uxcol._ADJ + 3], jnp.int32)
+    )
+    b0, b1, b2 = split3(bc)
+
+    def body(carry):
+        i, fi, b0, b1, b2, a0, a1, a2, found, hit_boundary = carry
+        # cross the edge of the most-negative coordinate
+        k01 = b0 <= b1
+        bmin01 = jnp.where(k01, b0, b1)
+        use2 = b2 < bmin01
+        nxt = jnp.where(use2, a2, jnp.where(k01, a0, a1))
+        move = ~found & (nxt >= 0)
+        hit_boundary = hit_boundary | (~found & (nxt < 0))
+        fi_new = jnp.where(move, nxt, fi)
+        row = uxcol.face_rows(ftbl, fi_new)
+        nb = uxcol.bary_from_rows(row, pts, spec.spherical)
+        na = jax.lax.bitcast_convert_type(
+            row[:, uxcol._ADJ : uxcol._ADJ + 3], jnp.int32
+        )
+        found_new = found | _in_cell(nb)
+        keep = found
+        b0n = jnp.where(keep, b0, nb[:, 0])
+        b1n = jnp.where(keep, b1, nb[:, 1])
+        b2n = jnp.where(keep, b2, nb[:, 2])
+        return (
+            i + 1, fi_new, b0n, b1n, b2n, na[:, 0], na[:, 1], na[:, 2],
+            found_new, hit_boundary,
+        )
+
+    def cond(carry):
+        i = carry[0]
+        found = carry[8]
+        hit_b = carry[9]
+        return (i < max_hops) & jnp.any(~found & ~hit_b)
+
+    (_, fi, b0, b1, b2, _, _, _, found, hit_b) = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), fi, b0, b1, b2, a0, a1, a2, found, hit_b)
+    )
+    return fi, jnp.stack([b0, b1, b2], axis=-1), found, hit_b
+
+
+def ux_walk(spec: UxGridSpec, garrs: dict, pts, fi, n_walk: int = 16, full_hops: int = 3):
+    """Early-exit adjacency walk from seed faces ``fi`` for points ``pts``.
+
+    Each unfound lane crosses the edge of its most-negative barycentric
+    coordinate into the neighboring face (the classic point-location walk,
+    fully vectorized). Returns ``(fi, bc)`` where unfound lanes carry the
+    search sentinels (RIGHT_OUT_OF_BOUNDS on a boundary hit,
+    GRID_SEARCH_ERROR on non-convergence).
+
+    TWO-PHASE: up to ``full_hops`` whole-batch hops resolve the
+    overwhelming majority (measured convergence at FESOM2 scale:
+    154k -> 65k -> 19k -> 2.5k -> 13 -> 0 unfound per hop,
+    scripts/probe_ux_walk.py), then the stragglers are COMPACTED and
+    walk up to ``n_walk`` more hops at straggler-proportional cost — a
+    whole-batch loop pays a full-batch row-take + barycentric pass per
+    hop, so letting a handful of long walks drive 16 full-batch
+    iterations dominated the ux step (r5 device trace: ~120 face-row
+    takes per step). Works on any batch size — the ux stage cache
+    (ops/uxcache.py) also calls it on compacted miss rounds.
+    """
+    bc = None
+    from parcels_tpu.ops import uxcol
+
+    ftbl = garrs.get("face_table")
+    if ftbl is not None:
+        bc = uxcol.bary_from_rows(uxcol.face_rows(ftbl, fi), pts, spec.spherical)
+    else:
+        bc = _bary_coords(garrs, fi, pts, spec.spherical)
+    found = _in_cell(bc)
+    hit_b = jnp.zeros(fi.shape, dtype=bool)
+    fi, bc, found, hit_b = _walk_loop(
+        spec, garrs, pts, fi, bc, found, hit_b, jnp.int32(full_hops)
+    )
+
+    n = fi.shape[0]
+    strag = ~found & ~hit_b
+    cnt = jnp.sum(strag.astype(jnp.int32))
+    K = min(n, max(1024, n // 64))
+
+    def compact_phase(state):
+        fi, bc, found, hit_b = state
+        from parcels_tpu.ops.stagecache import _blocked_cumsum
+
+        cum = _blocked_cumsum(strag.astype(jnp.int32))
+        nrounds = jax.lax.div(cnt + (K - 1), jnp.int32(K))
+
+        def round_body(carry):
+            r, (fi, bc, found, hit_b) = carry
+            base = (r * K).astype(cum.dtype)
+            idx = jnp.searchsorted(cum, base + jnp.arange(1, K + 1, dtype=cum.dtype))
+            idx = jnp.minimum(idx, n - 1).astype(jnp.int32)
+            sub_pts = jnp.take(pts, idx, axis=0)
+            s_fi, s_bc, s_found, s_hb = _walk_loop(
+                spec, garrs, sub_pts,
+                jnp.take(fi, idx), jnp.take(bc, idx, axis=0),
+                jnp.take(found, idx), jnp.take(hit_b, idx),
+                jnp.int32(n_walk),
+            )
+            return r + 1, (
+                fi.at[idx].set(s_fi),
+                bc.at[idx].set(s_bc),
+                found.at[idx].set(s_found),
+                hit_b.at[idx].set(s_hb),
+            )
+
+        _, state = jax.lax.while_loop(
+            lambda carry: carry[0] < nrounds, round_body, (jnp.int32(0), state)
+        )
+        return state
+
+    fi, bc, found, hit_b = jax.lax.cond(
+        cnt > 0, compact_phase, lambda s: s, (fi, bc, found, hit_b)
+    )
+    fi = jnp.where(
+        found,
+        fi,
+        jnp.where(
+            hit_b,
+            jnp.int32(index_search.RIGHT_OUT_OF_BOUNDS),
+            jnp.int32(index_search.GRID_SEARCH_ERROR),
+        ),
+    )
+    return fi, bc
+
+
 class UxGridView:
     """Traced view of a UxGrid inside the jitted engine (duck-typed with
     field.GridView: .spec, .garrs, .search)."""
@@ -450,49 +623,7 @@ def ux_search(
         rx = jnp.clip(jnp.floor((x - ox) / sx).astype(jnp.int32), 0, nx - 1)
         seed = tbl[ry, rx]
         fi = jnp.where(hit0, fi0, jnp.clip(seed, 0, nf - 1))
-
-        def body(carry):
-            i, fi, bc, found, hit_boundary = carry
-            k = jnp.argmin(bc, axis=-1)
-            if ftbl is not None:
-                nxt = uxcol.adj_from_rows(
-                    uxcol.face_rows(ftbl, fi), k.astype(jnp.int32)
-                )
-            else:
-                nxt = adj[jnp.clip(fi, 0, nf - 1), k]
-            move = ~found & (nxt >= 0)
-            hit_boundary = hit_boundary | (~found & (nxt < 0))
-            fi_new = jnp.where(move, nxt, fi)
-            bc_new = bary(fi_new)
-            found_new = found | _in_cell(bc_new)
-            bc = jnp.where(found[:, None], bc, bc_new)
-            return i + 1, fi_new, bc, found_new, hit_boundary
-
-        def cond(carry):
-            # early exit: warm-started misses cross into an ADJACENT face,
-            # so the overwhelmingly common case is 1-2 hops — a fixed
-            # 16-trip loop at batch scale was the dominant ux cost (and at
-            # FESOM2 scale produced the minutes-long device programs of
-            # the worker-crash class)
-            i, _, _, found, hit_b = carry
-            return (i < n_walk) & jnp.any(~found & ~hit_b)
-
-        bc = bary(fi)
-        found = _in_cell(bc)
-        hit_b = jnp.zeros(y.shape, dtype=bool)
-        _, fi, bc, found, hit_b = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), fi, bc, found, hit_b)
-        )
-        fi = jnp.where(
-            found,
-            fi,
-            jnp.where(
-                hit_b,
-                jnp.int32(index_search.RIGHT_OUT_OF_BOUNDS),
-                jnp.int32(index_search.GRID_SEARCH_ERROR),
-            ),
-        )
-        return fi, bc
+        return ux_walk(spec, garrs, pts, fi, n_walk=n_walk)
 
     def warm(_):
         return fi0, bc0

@@ -244,7 +244,15 @@ def prebuild_tables(fsview) -> None:
                 and "face_table" in comp.grid.garrs
                 and uxcol.col_usable(comp.data.shape)
             ):
-                uxcol.ux_col_table(comp)
+                from parcels_tpu.ops import uxcache
+
+                if hasattr(v, "U") and uxcache.enabled(v):
+                    # cached tier's corner tables
+                    uxcol.ux_colT_uv_table(v)
+                    if v.W is not None:
+                        uxcol.ux_colT_table(v.W)
+                else:
+                    uxcol.ux_col_table(comp)
         if not hasattr(v, "_stage_cache") or not enabled(v):
             continue
         cell_table(v)
@@ -373,7 +381,9 @@ def invalidate_soa_cache(dev: dict) -> dict:
     if SC_KEY in dev:
         dev = dict(dev)
         dev[SC_KEY] = jnp.asarray(dev[SC_KEY]).at[:, 0].set(-1)
-    return dev
+    from parcels_tpu.ops import uxcache
+
+    return uxcache.invalidate_soa_cache(dev)
 
 
 def _load_soa_cache(particles, vf):
@@ -409,13 +419,21 @@ def flush(fsview, pd) -> None:
     non-evaluated lanes were loaded unchanged from the SoA. Only the
     designated owner flushes — another C-grid vector field's cache holds
     different face values and must never land in the shared columns."""
-    if SC_KEY not in pd:
+    from parcels_tpu.ops import uxcache
+
+    if SC_KEY not in pd and uxcache.UXC_KEY not in pd:
         return
     for v in fsview._views.values():
         if not getattr(v, "_sc_owner", False):
             continue
         c = getattr(v, "_stage_cache", None)
         if c is None:
+            continue
+        if "face" in c:  # unstructured per-face cache (ops/uxcache.py)
+            if uxcache.UXC_KEY in pd:
+                uxcache.flush_one(c, pd)
+            continue
+        if SC_KEY not in pd:
             continue
         pd[SC_KEY] = jnp.stack(
             [c["cell"], c["ti"], c["zi"], c["wzi"]], axis=1

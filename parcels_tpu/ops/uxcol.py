@@ -41,6 +41,7 @@ __all__ = [
     "ROW_WIDTH",
     "adj_from_rows",
     "bary_from_rows",
+    "bary_from_verts",
     "build_face_table",
     "enabled",
     "face_rows",
@@ -48,6 +49,7 @@ __all__ = [
     "node_ids",
     "sample_col",
     "ux_col_table",
+    "verts_from_rows",
     "weight_row",
 ]
 
@@ -125,21 +127,32 @@ def nids_from_rows(row):
 
 
 def adj_from_rows(row, k):
-    """Per-lane adjacent face across edge ``k`` (n,) from the fused row."""
+    """Per-lane adjacent face across edge ``k`` (n,) from the fused row.
+
+    Arithmetic select, NOT take_along_axis: XLA lowers the (n, 3) aligned
+    gather to per-element scattered reads (measured 5 GB/s, 18% of the ux
+    step — r5 device trace); three lane-wise selects are pure VPU."""
     a = jax.lax.bitcast_convert_type(row[:, _ADJ : _ADJ + 3], jnp.int32)
-    return jnp.take_along_axis(a, k[:, None], axis=1)[:, 0]
+    return jnp.where(k == 0, a[:, 0], jnp.where(k == 1, a[:, 1], a[:, 2]))
 
 
-def bary_from_rows(row, pts, spherical: bool):
-    """Barycentric coords of ``pts`` in the row's triangle -> (n, 3).
+def verts_from_rows(row, spherical: bool):
+    """(n, 3*d) corner coordinates extracted from fused rows (d = 2 flat,
+    3 spherical) — the compact per-lane triangle frame the ux stage cache
+    carries across RK stages (ops/uxcache.py)."""
+    d = 3 if spherical else 2
+    return jnp.concatenate(
+        [row[:, _V0 : _V0 + d], row[:, _V1 : _V1 + d], row[:, _V2 : _V2 + d]], axis=1
+    )
 
-    Mirror of uxgrid._bary_coords (reference index_search.py:393-436)
-    evaluated against pre-gathered corner coordinates.
-    """
+
+def bary_from_verts(verts, pts, spherical: bool):
+    """Barycentric coords of ``pts`` against packed (n, 3*d) corners."""
+    d = 3 if spherical else 2
+    v0 = verts[:, 0:d]
+    v1 = verts[:, d : 2 * d]
+    v2 = verts[:, 2 * d : 3 * d]
     if spherical:
-        v0 = row[:, _V0 : _V0 + 3]
-        v1 = row[:, _V1 : _V1 + 3]
-        v2 = row[:, _V2 : _V2 + 3]
         r1 = v1 - v0
         r2 = v2 - v0
         nhat = jnp.cross(r1, r2)
@@ -151,9 +164,6 @@ def bary_from_rows(row, pts, spherical: bool):
         def area(a, b, c):
             return 0.5 * jnp.linalg.norm(jnp.cross(b - a, c - a), axis=-1)
     else:
-        v0 = row[:, _V0 : _V0 + 2]
-        v1 = row[:, _V1 : _V1 + 2]
-        v2 = row[:, _V2 : _V2 + 2]
         p = pts
 
         def area(a, b, c):
@@ -167,6 +177,15 @@ def bary_from_rows(row, pts, spherical: bool):
     b1 = area(p, v2, v0) / a
     b2 = area(p, v0, v1) / a
     return jnp.stack([b0, b1, b2], axis=-1)
+
+
+def bary_from_rows(row, pts, spherical: bool):
+    """Barycentric coords of ``pts`` in the row's triangle -> (n, 3).
+
+    Mirror of uxgrid._bary_coords (reference index_search.py:393-436)
+    evaluated against pre-gathered corner coordinates.
+    """
+    return bary_from_verts(verts_from_rows(row, spherical), pts, spherical)
 
 
 # ---------------------------------------------------------------------------
@@ -186,6 +205,53 @@ def ux_col_table(field):
         # degrade back to scattered original-layout element reads
         tbl = jax.lax.optimization_barrier(tbl)
         field._col_table = tbl
+    return tbl
+
+
+def ux_colT_table(field):
+    """Cached (N*T, max(Z, 64)) per-(node, time) z-row table.
+
+    Row ``node*T + t`` holds the full depth column of one node at one time
+    level, zero-padded to 64 so the layout stays row-major (one 256 B
+    granule per take at Z <= 64). The time bracket is resolved by the TAKE
+    INDEX instead of a (n, T*Z) one-hot mask, which removes the dominant
+    materialized intermediate of the corner extraction (r5 device trace:
+    the 4-mask reduces over (n, 96) rows were ~60% of the ux repair
+    traffic). Used by the per-face stage cache (ops/uxcache.py)."""
+    tbl = getattr(field, "_colT_table", None)
+    if tbl is None:
+        T, Z, N = field.data.shape
+        P = max(Z, ROW_WIDTH)
+        tbl = jnp.transpose(field.data, (2, 0, 1)).reshape(N * T, Z)
+        if Z < P:
+            tbl = jnp.pad(tbl, ((0, 0), (0, P - Z)))
+        tbl = jax.lax.optimization_barrier(tbl)
+        field._colT_table = tbl
+    return tbl
+
+
+def ux_colT_uv_table(vf):
+    """(N*T, 2*pad64(Z)) fused [U | V] per-(node, time) z-row table.
+
+    U and V share nodes and placement, so one row-take serves both
+    components' corner extraction — 6 takes of 512 B per repair instead
+    of 12 of 256 B (half the gather issue count at identical bytes).
+    Cached on the vector view for the chunk trace.
+    """
+    tbl = getattr(vf, "_uv_colT", None)
+    if tbl is None:
+        T, Z, N = vf.U.data.shape
+        P = max(Z, ROW_WIDTH)
+
+        def half(data):
+            h = jnp.transpose(data, (2, 0, 1)).reshape(N * T, Z)
+            if Z < P:
+                h = jnp.pad(h, ((0, 0), (0, P - Z)))
+            return h
+
+        tbl = jnp.concatenate([half(vf.U.data), half(vf.V.data)], axis=1)
+        tbl = jax.lax.optimization_barrier(tbl)
+        vf._uv_colT = tbl
     return tbl
 
 

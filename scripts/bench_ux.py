@@ -64,6 +64,12 @@ def run(fs, npart, steps, dt=120.0):
         "_active": jnp.ones((npart,), bool),
         "ei": jnp.zeros((npart, 1), jnp.int32),
     }
+    from parcels_tpu.ops import uxcache as _uxc
+
+    uxc_ok, uxc_meta = _uxc.soa_cache_applicable(fs)
+    if uxc_ok:
+        pdata.update(_uxc.make_soa_cache_device(npart, uxc_meta))
+        print("  persistent per-face cache: on", flush=True)
     nblocks = 1
     while npart // nblocks > 2**21 or npart % nblocks:
         nblocks += 1
@@ -78,24 +84,24 @@ def run(fs, npart, steps, dt=120.0):
     np.asarray(out["t"][:1])
     compile_s = time.perf_counter() - t0
 
-    # SINGLE-step launches: the gather tier runs seconds per step at
-    # FESOM2 scale, and a 10-step single launch lands squarely in the
-    # long-program worker-crash class the adaptive chunker exists to
-    # prevent (this bench drives the executor directly, bypassing it)
-    def run_steps(k0, nsteps):
+    # multi-step launches (the public execute() path runs chunked
+    # while-loops too). Per-step launches made sense when one ux step ran
+    # seconds (r4); at current speeds their per-launch SoA copies and
+    # dispatches dominate. Stall-robust differenced timing cancels the
+    # fixed per-launch cost (bench_config5._robust_elapsed).
+    from bench_config5 import _robust_elapsed
+
+    def run(k):
         t0 = time.perf_counter()
-        o = out
-        for s in range(nsteps):
-            o = executor(farrays, o, jnp.float32(dt * (k0 + s + 1)), jnp.float32(dt))
+        o = executor(farrays, out, jnp.float32(dt * (k + 1)), jnp.float32(dt))
         np.asarray(o["t"][:1])
         return time.perf_counter() - t0
 
-    t_a = run_steps(0, steps)
-    t_b = run_steps(steps, steps)
-    best = min(t_a, t_b)
-    rate = npart * steps / best
+    k0 = max(steps // 10, 1)
+    elapsed = _robust_elapsed(run, k0, steps)
+    rate = npart * steps / elapsed
     print(
-        f"  compile+first {compile_s:.1f}s; {steps} steps in {best:.2f}s "
+        f"  compile+first {compile_s:.1f}s; {steps} steps in {elapsed:.2f}s "
         f"-> {rate/1e6:.2f} M particle-steps/s", flush=True,
     )
     return rate
