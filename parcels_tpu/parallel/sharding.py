@@ -91,7 +91,7 @@ class ParticleMesh:
                 continue
             if pad:
                 fill = np.zeros((pad,) + v.shape[1:], dtype=v.dtype)
-                if k in ("particle_id", "_sc_key"):
+                if k in ("particle_id", "_sc_key", "_uxc_key"):
                     # -1 sentinels: padded lanes must never look like live
                     # ids or valid persistent-cache cells (cell 0 is real)
                     fill = fill - 1
