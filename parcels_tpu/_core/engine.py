@@ -327,10 +327,20 @@ def _run_block(
     sorted_hint=False, resort=None, lockstep_w=0, z_occ=None,
 ):
     """The full inner time loop for one particle block (traced)."""
-    # Chunk start: active particles are (re)queued for evaluation
-    # (reference kernel.py:190).
+    # Chunk start: active particles are (re)queued for evaluation —
+    # EXCEPT error / StopAllExecution lanes. The reference requeues all
+    # (kernel.py:190) but raises before the next chunk; here the public
+    # execute() pipelines chunk dispatch ahead of the error pull, so a
+    # chunk launched after an errored one must be a halt no-op (the host
+    # raises one pull later with identical state). The reference's
+    # requeue-all happens host-side once per execute() call instead.
+    st = pdata["state"]
     pdata["state"] = jnp.where(
-        pdata["_active"], jnp.int32(StatusCode.Evaluate), pdata["state"]
+        pdata["_active"]
+        & (st < MIN_ERROR_CODE)
+        & (st != StatusCode.StopAllExecution),
+        jnp.int32(StatusCode.Evaluate),
+        st,
     )
     if rk45_mode:
         pdata["dt"] = rk45_chunk_start_dt(fsview, pdata, sign_dt)

@@ -458,6 +458,16 @@ class ParticleSet:
             self._data.update(
                 _uxc.make_soa_cache(np.asarray(self._data["state"]).shape[0], uxc_meta)
             )
+        # reference kernel.py:190: every execute() call requeues ALL active
+        # lanes host-side. (The in-trace chunk-start requeue preserves
+        # error/Stop states so pipelined dispatch stays exact — see
+        # engine._run_block.)
+        self._data["state"] = np.where(
+            np.asarray(self._data["_active"], dtype=bool),
+            np.int32(StatusCode.Evaluate),
+            np.asarray(self._data["state"], dtype=np.int32),
+        )
+
         pmesh = getattr(self, "_pmesh", None)
         domain = getattr(self, "_domain", None)
         windowed = self.fieldset._time_window is not None
@@ -551,83 +561,47 @@ class ParticleSet:
             # 10 s), so expose at most 2 steps before the model kicks in
             cur_chunk = min(max_chunk, 2) if adaptive else max_chunk
             est_per_step = None  # EWMA seconds per engine step
-            while sign_dt * (time - end_time) < 0:
-                if next_output is not None:
-                    f = min if sign_dt > 0 else max
-                    next_time = f(next_output, end_time)
-                else:
-                    next_time = end_time
-                if cur_chunk > 0 and dt:
-                    f = min if sign_dt > 0 else max
-                    next_time = f(next_time, time + sign_dt * cur_chunk * abs(dt))
-                if windowed:
-                    # the persistent cell cache holds face values of the
-                    # PREVIOUS window's data: invalidate at window rollover
-                    dev = _sc.invalidate_soa_cache(dev)
-                    f = min if sign_dt > 0 else max
-                    next_time = f(next_time, self.fieldset.max_window_endtime(time, sign_dt))
-                    if domain is not None:
-                        farrays = domain.stacked_windowed(time, next_time)
-                    elif pmesh is not None:
-                        farrays = pmesh.shard_fields(
-                            self.fieldset.windowed_arrays(time, next_time)
-                        )
-                    else:
-                        farrays = self.fieldset.windowed_arrays(time, next_time)
-                launch_t0 = _time.perf_counter()
-                dev = executor(farrays, dev, np.float32(next_time), np.float32(dt))
-                prefetch_host = 0.0
-                if windowed and sign_dt * (next_time - end_time) < 0:
-                    # stage the next window while the chunk runs on device;
-                    # forward chunks anchor exactly at next_time, backward
-                    # ones at an estimate (misprediction = harmless sync load)
-                    anchor = next_time if sign_dt > 0 else next_time + (next_time - time)
-                    p0 = _time.perf_counter()
-                    (domain or self.fieldset).prefetch_window(anchor)
-                    # host-side staging time overlaps device compute; charge
-                    # it to the prefetcher, not the cost model (ADVICE r4)
-                    prefetch_host = _time.perf_counter() - p0
 
-                # device-side 4-byte error predicate: pulling the full (n,)
-                # state/active arrays every chunk costs real wall time at
-                # 10M lanes (and minutes over a degraded TPU tunnel); the
-                # full arrays are fetched only when something actually errs
-                err_any = bool(
-                    np.asarray(
-                        jnp.any(
-                            jnp.asarray(dev["_active"])
-                            & (jnp.asarray(dev["state"]) >= MIN_ERROR_CODE)
-                        )
-                    )
+            # ---- pipelined chunk dispatch (round-5 VERDICT task 6) ----
+            # The host pulls chunk k's 16-byte flag vector only AFTER
+            # dispatching chunk k+1, so the per-chunk sync (tunnel RTT up
+            # to seconds) never drains the device queue. Exact semantics:
+            # the in-trace requeue preserves error/Stop lanes, so a chunk
+            # dispatched after a halted one is a no-op and the deferred
+            # check reports identical state one pull later.
+            def _chunk_flags(d):
+                act = jnp.asarray(d["_active"])
+                st = jnp.asarray(d["state"])
+                err = jnp.any(act & (st >= MIN_ERROR_CODE)).astype(jnp.int32)
+                stop = jnp.any(act & (st == StatusCode.StopAllExecution)).astype(
+                    jnp.int32
                 )
-                if adaptive:
-                    # the 4-byte error pull above was the first device sync,
-                    # so the wall span covers the whole launch. The FIRST
-                    # launch is excluded from the model: it includes
-                    # compilation (minutes at scale), and seeding the EWMA
-                    # with it forced ~10 one-step recovery chunks whose
-                    # per-launch host syncs dominated short runs.
-                    launch_wall = _time.perf_counter() - launch_t0 - prefetch_host
-                    if nchunks == 0:
-                        pass  # compile-bearing probe: keep the probe length
-                    else:
-                        steps_done = max(
-                            1, round(abs(float(next_time) - float(time)) / abs(dt))
-                        )
-                        w = launch_wall / steps_done
-                        est_per_step = (
-                            w if est_per_step is None else 0.5 * est_per_step + 0.5 * w
-                        )
-                        cur_chunk = max(1, min(max_chunk, int(target_s / est_per_step)))
-                # domain-decomposition diagnostics outrank per-particle state
-                # errors: a halo/buffer breach invalidates the interpolation
-                # that produced those states in the first place
-                if "_migof" in dev and int(np.asarray(dev["_migof"]).sum()) > 0:
+                mig = (
+                    jnp.asarray(d["_migof"]).sum().astype(jnp.int32)
+                    if "_migof" in d
+                    else jnp.int32(0)
+                )
+                halo = (
+                    jnp.asarray(d["_haloof"]).sum().astype(jnp.int32)
+                    if "_haloof" in d
+                    else jnp.int32(0)
+                )
+                return jnp.stack([err, stop, mig, halo])
+
+            def _check_flags(flags_host, span):
+                """Raise/stop handling for one chunk; reports from the
+                CURRENT dev (a successor chunk after a halt is a no-op, so
+                the state is identical)."""
+                err_any, stop_any, migof, haloof = (int(v) for v in flags_host)
+                # domain diagnostics outrank per-particle state errors: a
+                # halo/buffer breach invalidates the interpolation that
+                # produced those states in the first place
+                if migof > 0:
                     raise RuntimeError(
                         "Particle migration buffer overflow: increase "
                         "YBandDomain(headroom=..., migration_capacity=...) or halo."
                     )
-                if "_haloof" in dev and int(np.asarray(dev["_haloof"]).sum()) > 0:
+                if haloof > 0:
                     # curvilinear bands surface halo breaches as failed cell
                     # walks; only raise the halo diagnostic when the failing
                     # lanes ARE findable on the global grid (otherwise they
@@ -636,7 +610,7 @@ class ParticleSet:
                         domain is None
                         or not domain.curvilinear
                         or self._curvilinear_halo_breach(
-                            dev, tuple(kernels), time, next_time, dt,
+                            dev, tuple(kernels), span[0], span[1], dt,
                             sign_dt, rk45_mode, windowed,
                         )
                     ):
@@ -653,8 +627,96 @@ class ParticleSet:
                     self._raise_errors(
                         dev, np.asarray(dev["state"]), np.asarray(dev["_active"])
                     )
+                return bool(stop_any)
 
-                if next_output is not None and abs(next_time - next_output) < 1e-3:
+            pending = None  # (flags_dev, steps, chunk_index, (time, next_time))
+            t_mark = _time.perf_counter()
+            prefetch_acc = 0.0
+
+            def _drain(pending):
+                """Pull + check a chunk's deferred flags; update the cost
+                model from the wall time since the previous pull (host work
+                in between overlapped device compute)."""
+                nonlocal est_per_step, cur_chunk, t_mark, prefetch_acc
+                flags, steps_done, idx, span = pending
+                flags_host = np.asarray(flags)
+                now = _time.perf_counter()
+                if adaptive and idx > 0:
+                    # the compile-bearing first chunk never seeds the EWMA
+                    w = max(now - t_mark - prefetch_acc, 1e-6) / steps_done
+                    est_per_step = (
+                        w if est_per_step is None else 0.5 * est_per_step + 0.5 * w
+                    )
+                    cur_chunk = max(1, min(max_chunk, int(target_s / est_per_step)))
+                t_mark = now
+                prefetch_acc = 0.0
+                return _check_flags(flags_host, span)
+
+            while sign_dt * (time - end_time) < 0:
+                if next_output is not None:
+                    f = min if sign_dt > 0 else max
+                    next_time = f(next_output, end_time)
+                else:
+                    next_time = end_time
+                if cur_chunk > 0 and dt:
+                    f = min if sign_dt > 0 else max
+                    next_time = f(next_time, time + sign_dt * cur_chunk * abs(dt))
+                if windowed:
+                    # the persistent cell cache holds face values of the
+                    # PREVIOUS window's data: invalidate at window rollover
+                    dev = _sc.invalidate_soa_cache(dev)
+                    f = min if sign_dt > 0 else max
+                    next_time = f(next_time, self.fieldset.max_window_endtime(time, sign_dt))
+                    prev_farrays = farrays
+                    if domain is not None:
+                        farrays = domain.stacked_windowed(time, next_time)
+                    elif pmesh is not None:
+                        farrays = pmesh.shard_fields(
+                            self.fieldset.windowed_arrays(time, next_time)
+                        )
+                    else:
+                        farrays = self.fieldset.windowed_arrays(time, next_time)
+                    if farrays is not prev_farrays and pending is not None:
+                        # window ROLLOVER drains the pipeline: dispatching
+                        # the next chunk now would keep two windows' slabs
+                        # (plus the running chunk's in-trace tables) live at
+                        # once — measured ResourceExhausted at the streamed
+                        # config-5 shape. Chunks within one window pipeline.
+                        stop_prev0 = _drain(pending)
+                        pending = None
+                        if stop_prev0:
+                            break
+                dev = executor(farrays, dev, np.float32(next_time), np.float32(dt))
+                # tiny device-side reduction, dispatched (not pulled) now
+                flags = _chunk_flags(dev)
+                if windowed and sign_dt * (next_time - end_time) < 0:
+                    # stage the next window while the chunk runs on device;
+                    # forward chunks anchor exactly at next_time, backward
+                    # ones at an estimate (misprediction = harmless sync load)
+                    anchor = next_time if sign_dt > 0 else next_time + (next_time - time)
+                    p0 = _time.perf_counter()
+                    (domain or self.fieldset).prefetch_window(anchor)
+                    # host-side staging time overlaps device compute; charge
+                    # it to the prefetcher, not the cost model (ADVICE r4)
+                    prefetch_acc += _time.perf_counter() - p0
+
+                # deferred check of the PREVIOUS chunk (pipeline depth 1)
+                stop_prev = _drain(pending) if pending is not None else False
+                steps_done = (
+                    max(1, round(abs(float(next_time) - float(time)) / abs(dt)))
+                    if dt
+                    else 1
+                )
+                pending = (flags, steps_done, nchunks, (time, next_time))
+
+                at_output = (
+                    next_output is not None and abs(next_time - next_output) < 1e-3
+                )
+                if at_output:
+                    # output boundaries drain the pipeline: a snapshot must
+                    # reflect a chunk already checked for errors
+                    stop_prev = _drain(pending) or stop_prev
+                    pending = None
                     if output_file:
                         output_file.write_snapshot(_snapshot(dev), next_output)
                     if np.isfinite(outputdt):
@@ -664,17 +726,11 @@ class ParticleSet:
                     pbar.update(sign_dt * (next_time - time))
                 time = next_time
                 nchunks += 1
-
-                stop_any = bool(
-                    np.asarray(
-                        jnp.any(
-                            jnp.asarray(dev["_active"])
-                            & (jnp.asarray(dev["state"]) == StatusCode.StopAllExecution)
-                        )
-                    )
-                )
-                if stop_any:
+                if stop_prev:
                     break
+
+            if pending is not None:
+                _drain(pending)
         finally:
             if pbar is not None:
                 pbar.close()

@@ -189,22 +189,39 @@ class YBandDomain:
         return lock
 
     def _build_plans(self):
+        """Per-grid banding plans.
+
+        One grid is the MAIN: ownership, migration and the halo diagnostic
+        are judged on it (a curvilinear banded grid is preferred — its
+        migration paths rebase every banded grid's ``ei`` cache, which
+        rectilinear latitude-threshold migration does not need). Every
+        other band-eligible grid is banded by COVERAGE: band b's slab must
+        cover the main band b's slab y-range (plus a stencil margin), so
+        mixed rectilinear + curvilinear fieldsets (NEMO C-grid UV + an
+        A-grid wind/Stokes product — reference fieldset.py:381-400
+        mixed-mesh handling) and banded grids of differing extents all
+        sample correctly inside their band (round-5 VERDICT task 5).
+        """
         fieldset = self.fieldset
         h, n = self.halo, self.n
+        grids = list(fieldset.gridset)
+        elig = [
+            "Y" in getattr(g.spec, "axes", ()) and g.spec.ydim >= n for g in grids
+        ]
+        curv = [bool(getattr(g.spec, "curvilinear", False)) for g in grids]
+        main_pos = next((i for i in range(len(grids)) if elig[i] and curv[i]), None)
+        if main_pos is None:
+            main_pos = next((i for i in range(len(grids)) if elig[i]), None)
+        if main_pos is None:
+            raise ValueError("FieldSet has no grid decomposable along Y.")
         if self._row_edges is not None:
-            # validate the custom partition against the MAIN banded grid
-            # (first band-eligible grid) — a mis-sized partition must fail
-            # loudly, not silently fall back to uniform edges (ADVICE r4)
+            # validate the custom partition against the MAIN banded grid —
+            # a mis-sized partition must fail loudly, not silently fall
+            # back to uniform edges (ADVICE r4)
             r = self._row_edges
-            eligible = [
-                g.spec.ydim
-                for g in fieldset.gridset
-                if "Y" in getattr(g.spec, "axes", ()) and g.spec.ydim >= n
-            ]
-            main_ydim = eligible[0] if eligible else None
+            main_ydim = grids[main_pos].spec.ydim
             if (
-                main_ydim is None
-                or len(r) != n + 1
+                len(r) != n + 1
                 or r[0] != 0
                 or r[-1] != main_ydim
                 or np.any(np.diff(r) < 1)
@@ -214,133 +231,36 @@ class YBandDomain:
                     f"main banded grid's ydim ({main_ydim}) with at least 1 "
                     f"row per band. Got {r}."
                 )
-        self._grid_plans: list[dict] = []
-        banded_any = False
-        for grid in fieldset.gridset:
-            spec = grid.spec
-            axes = getattr(spec, "axes", ())  # UxGridSpec has none: replicated
-            if "Y" in axes and not spec.curvilinear and spec.ydim >= n:
-                la = np.asarray(grid.lat, dtype=np.float64)
-                ydim = spec.ydim  # cells; nodes = ydim + 1
-                r = self._edges_for(ydim)  # (n+1,) cell-row ownership edges
-                Yl = self._locked_Yl(len(self._grid_plans), int(np.diff(r).max()) + 2 * h)
-                starts = r[:-1].astype(np.int64)
-                # northward extension: cover the last band's slab + halo
-                extra = int(starts.max()) + (Yl - 2 * h) - ydim
-                d0 = la[1] - la[0]
-                dN = la[-1] - la[-2]
-                north = la[-1] + dN * np.arange(1, extra + h + 1)
-                south = la[0] - d0 * np.arange(h, 0, -1)
-                lax_ext = np.concatenate([south, la, north])  # h + nodes + extra + h
-                # band ownership edges in the padded (no-halo) node frame
-                edges = lax_ext[h + np.minimum(r, ydim + extra)]
-                band_lo = edges[:-1].copy()
-                band_hi = edges[1:].copy()
-                band_lo[0] = -np.inf
-                band_hi[-1] = np.inf
-                local_spec = dataclasses.replace(
-                    spec,
-                    ydim=Yl,
-                    lat_uniform=None,
-                    has_lookup=False,
-                    y_oob_bounds=(float(la[0]), float(la[-1])),
-                )
-                # per-band node slices into the extended frame
-                lat_slabs = np.stack([lax_ext[s : s + Yl + 1] for s in starts])
-                self._grid_plans.append(
-                    {
-                        "banded": True,
-                        "grid": grid,
-                        "spec": local_spec,
-                        "row_starts": starts,
-                        "rows": Yl + 1,
-                        "pad_south": h,
-                        "pad_north": extra + h,
-                        "lat_slabs": lat_slabs.astype(np.float32),
-                        "lat_ext64": lax_ext,
-                        "band_lo": band_lo,
-                        "band_hi": band_hi,
-                        "row_edges": r,
-                        "ydim_nodes": ydim + 1,
-                    }
-                )
-                banded_any = True
-            elif "Y" in axes and spec.curvilinear and spec.ydim >= n:
-                # index-space banding: each device owns Yb *cell rows* of the
-                # 2-D grid; ownership/migration are judged on the cached cell
-                # row index, not latitude (rows of e.g. NEMO tripolar grids
-                # are not iso-latitude lines)
-                la2 = np.asarray(grid.lat, dtype=np.float64)
-                lo2 = np.asarray(grid.lon, dtype=np.float64)
-                ny_nodes, nx_nodes = la2.shape
-                ydim = spec.ydim
-                r = self._edges_for(ydim)
-                Yl = self._locked_Yl(len(self._grid_plans), int(np.diff(r).max()) + 2 * h)
-                starts = r[:-1].astype(np.int64)
-                extra = int(starts.max()) + (Yl - 2 * h) - ydim
-                # replicate edge rows outward: degenerate (zero-area) pad
-                # cells make the point-in-cell walk fail there, reproducing
-                # the single-device off-grid error semantics
-                lat_ext = np.concatenate(
-                    [np.repeat(la2[:1], h, 0), la2, np.repeat(la2[-1:], extra + h, 0)]
-                )
-                lon_ext = np.concatenate(
-                    [np.repeat(lo2[:1], h, 0), lo2, np.repeat(lo2[-1:], extra + h, 0)]
-                )
-                lat_slabs = np.stack([lat_ext[s : s + Yl + 1] for s in starts]).astype(np.float32)
-                lon_slabs = np.stack([lon_ext[s : s + Yl + 1] for s in starts]).astype(np.float32)
-                from parcels_tpu._core.grid import _build_curvilinear_lookup
 
-                ny_r = min(4 * Yl, 1024)
-                nx_r = min(4 * max(nx_nodes - 1, 1), 2048)
-                lks = [
-                    _build_curvilinear_lookup(lon_slabs[b], lat_slabs[b], shape=(ny_r, nx_r))
-                    for b in range(n)
-                ]
-                local_spec = dataclasses.replace(
-                    spec, ydim=Yl, has_lookup=True, y_oob_bounds=None
-                )
-                self._grid_plans.append(
-                    {
-                        "banded": True,
-                        "curvilinear": True,
-                        "grid": grid,
-                        "spec": local_spec,
-                        "row_starts": starts,
-                        "rows": Yl + 1,
-                        "pad_south": h,
-                        "pad_north": extra + h,
-                        "lat_slabs": lat_slabs,
-                        "lon_slabs": lon_slabs,
-                        "lat_ext64": lat_ext,
-                        "lon_ext64": lon_ext,
-                        "lookup_yi": np.stack([lk["yi"] for lk in lks]),
-                        "lookup_xi": np.stack([lk["xi"] for lk in lks]),
-                        "lookup_origin": np.asarray(
-                            [lk["origin"] for lk in lks], dtype=np.float32
-                        ),
-                        "lookup_step": np.asarray(
-                            [lk["step"] for lk in lks], dtype=np.float32
-                        ),
-                        "row_edges": r,
-                        "ydim_nodes": ydim + 1,
-                    }
-                )
-                banded_any = True
-            else:
-                self._grid_plans.append({"banded": False, "grid": grid, "spec": spec})
-        if not banded_any:
-            raise ValueError("FieldSet has no grid decomposable along Y.")
-        kinds = {bool(p.get("curvilinear", False)) for p in self._grid_plans if p["banded"]}
-        if len(kinds) > 1:
-            raise NotImplementedError(
-                "Mixing rectilinear- and curvilinear-banded grids in one "
-                "FieldSet is not supported."
-            )
-        self._main_igrid = next(
-            i for i, p in enumerate(self._grid_plans) if p["banded"]
+        r_main = self._edges_for(grids[main_pos].spec.ydim)
+        Yl_main = self._locked_Yl(main_pos, int(np.diff(r_main).max()) + 2 * h)
+        build = self._curv_plan if curv[main_pos] else self._rect_plan
+        main_plan = build(
+            grids[main_pos], r_main[:-1].astype(np.int64), Yl_main, r_main, main=True
         )
-        main = self._grid_plans[self._main_igrid]
+        lo_b, hi_b = self._band_y_ranges(main_plan)
+
+        self._grid_plans = []
+        for i, grid in enumerate(grids):
+            if i == main_pos:
+                self._grid_plans.append(main_plan)
+                continue
+            if not elig[i]:
+                self._grid_plans.append(
+                    {"banded": False, "grid": grid, "spec": grid.spec}
+                )
+                continue
+            starts, Ylc = self._coverage_starts(grid, curv[i], lo_b, hi_b)
+            Yl = self._locked_Yl(i, Ylc)
+            # pseudo-edges whose diffs equal the start deltas: the
+            # migration rebasing (band_rows_meta / band_row_starts) only
+            # consumes starts and their differences
+            pseudo = np.concatenate([starts, [starts[-1] + max(Yl - 2 * h, 1)]])
+            build = self._curv_plan if curv[i] else self._rect_plan
+            self._grid_plans.append(build(grid, starts, Yl, pseudo, main=False))
+
+        self._main_igrid = main_pos
+        main = main_plan
         self.curvilinear = bool(main.get("curvilinear", False))
         if self.curvilinear:
             self.band_lo = self.band_hi = self._interior_edges = None
@@ -349,6 +269,151 @@ class YBandDomain:
             self.band_hi = main["band_hi"]
             # interior edges for host-side band assignment
             self._interior_edges = main["band_hi"][:-1]
+
+    def _rect_plan(self, grid, starts, Yl, row_edges, main: bool):
+        """Banded plan for a rectilinear grid from explicit slab row starts
+        (extended-frame convention: slab b = ext nodes [s_b, s_b + Yl])."""
+        h, n = self.halo, self.n
+        spec = grid.spec
+        la = np.asarray(grid.lat, dtype=np.float64)
+        ydim = spec.ydim  # cells; nodes = ydim + 1
+        starts = np.asarray(starts, dtype=np.int64)
+        # northward extension: cover the last band's slab + halo
+        extra = max(0, int(starts.max()) + (Yl - 2 * h) - ydim)
+        d0 = la[1] - la[0]
+        dN = la[-1] - la[-2]
+        north = la[-1] + dN * np.arange(1, extra + h + 1)
+        south = la[0] - d0 * np.arange(h, 0, -1)
+        lax_ext = np.concatenate([south, la, north])  # h + nodes + extra + h
+        plan = {
+            "banded": True,
+            "grid": grid,
+            "spec": dataclasses.replace(
+                spec,
+                ydim=Yl,
+                lat_uniform=None,
+                has_lookup=False,
+                y_oob_bounds=(float(la[0]), float(la[-1])),
+            ),
+            "row_starts": starts,
+            "rows": Yl + 1,
+            "pad_south": h,
+            "pad_north": extra + h,
+            "lat_slabs": np.stack(
+                [lax_ext[s : s + Yl + 1] for s in starts]
+            ).astype(np.float32),
+            "lat_ext64": lax_ext,
+            "row_edges": np.asarray(row_edges, dtype=np.int64),
+            "ydim_nodes": ydim + 1,
+        }
+        if main:
+            # band ownership edges in the padded (no-halo) node frame
+            r = np.asarray(row_edges, dtype=np.int64)
+            edges = lax_ext[h + np.minimum(r, ydim + extra)]
+            band_lo = edges[:-1].copy()
+            band_hi = edges[1:].copy()
+            band_lo[0] = -np.inf
+            band_hi[-1] = np.inf
+            plan["band_lo"] = band_lo
+            plan["band_hi"] = band_hi
+        return plan
+
+    def _curv_plan(self, grid, starts, Yl, row_edges, main: bool):
+        """Banded plan for a curvilinear grid from explicit slab row starts
+        (index-space banding: ownership/migration are judged on the cached
+        cell row index, not latitude — rows of e.g. NEMO tripolar grids are
+        not iso-latitude lines)."""
+        h, n = self.halo, self.n
+        spec = grid.spec
+        la2 = np.asarray(grid.lat, dtype=np.float64)
+        lo2 = np.asarray(grid.lon, dtype=np.float64)
+        ny_nodes, nx_nodes = la2.shape
+        ydim = spec.ydim
+        starts = np.asarray(starts, dtype=np.int64)
+        extra = max(0, int(starts.max()) + (Yl - 2 * h) - ydim)
+        # replicate edge rows outward: degenerate (zero-area) pad cells make
+        # the point-in-cell walk fail there, reproducing the single-device
+        # off-grid error semantics
+        lat_ext = np.concatenate(
+            [np.repeat(la2[:1], h, 0), la2, np.repeat(la2[-1:], extra + h, 0)]
+        )
+        lon_ext = np.concatenate(
+            [np.repeat(lo2[:1], h, 0), lo2, np.repeat(lo2[-1:], extra + h, 0)]
+        )
+        lat_slabs = np.stack([lat_ext[s : s + Yl + 1] for s in starts]).astype(np.float32)
+        lon_slabs = np.stack([lon_ext[s : s + Yl + 1] for s in starts]).astype(np.float32)
+        from parcels_tpu._core.grid import _build_curvilinear_lookup
+
+        ny_r = min(4 * Yl, 1024)
+        nx_r = min(4 * max(nx_nodes - 1, 1), 2048)
+        lks = [
+            _build_curvilinear_lookup(lon_slabs[b], lat_slabs[b], shape=(ny_r, nx_r))
+            for b in range(n)
+        ]
+        return {
+            "banded": True,
+            "curvilinear": True,
+            "grid": grid,
+            "spec": dataclasses.replace(
+                spec, ydim=Yl, has_lookup=True, y_oob_bounds=None
+            ),
+            "row_starts": starts,
+            "rows": Yl + 1,
+            "pad_south": h,
+            "pad_north": extra + h,
+            "lat_slabs": lat_slabs,
+            "lon_slabs": lon_slabs,
+            "lat_ext64": lat_ext,
+            "lon_ext64": lon_ext,
+            "lookup_yi": np.stack([lk["yi"] for lk in lks]),
+            "lookup_xi": np.stack([lk["xi"] for lk in lks]),
+            "lookup_origin": np.asarray([lk["origin"] for lk in lks], dtype=np.float32),
+            "lookup_step": np.asarray([lk["step"] for lk in lks], dtype=np.float32),
+            "row_edges": np.asarray(row_edges, dtype=np.int64),
+            "ydim_nodes": ydim + 1,
+        }
+
+    def _band_y_ranges(self, main_plan):
+        """Per-band latitude coverage targets from the MAIN plan's slab
+        extents (ownership + halo + pad — everything a band's lanes can
+        sample before the halo diagnostic fires)."""
+        n = self.n
+        rows = main_plan["rows"]
+        lo = np.empty(n)
+        hi = np.empty(n)
+        lat = main_plan["lat_ext64"]
+        for b, s in enumerate(main_plan["row_starts"]):
+            sl = lat[s : s + rows]
+            lo[b] = float(np.min(sl))
+            hi[b] = float(np.max(sl))
+        lo[0] = -np.inf
+        hi[-1] = np.inf
+        return lo, hi
+
+    def _coverage_starts(self, grid, is_curv: bool, lo_b, hi_b):
+        """Slab row starts (extended-frame) + needed slab height for a
+        SECONDARY banded grid so band b covers latitudes [lo_b, hi_b]."""
+        h, n = self.halo, self.n
+        m = 1  # interpolation-stencil margin rows
+        if is_curv:
+            la2 = np.asarray(grid.lat, dtype=np.float64)
+            ny_nodes = la2.shape[0]
+            cummax = np.maximum.accumulate(la2.max(axis=1))
+            sufmin = np.minimum.accumulate(la2.min(axis=1)[::-1])[::-1]
+            # largest node row fully below lo / smallest fully above hi
+            a = np.clip(np.searchsorted(cummax, lo_b, side="right") - 1, 0, ny_nodes - 1)
+            bnd = np.clip(np.searchsorted(sufmin, hi_b, side="left"), 0, ny_nodes - 1)
+        else:
+            la = np.asarray(grid.lat, dtype=np.float64)
+            nn = la.shape[0]
+            a = np.clip(np.searchsorted(la, lo_b, side="right") - 1, 0, nn - 1)
+            bnd = np.clip(np.searchsorted(la, hi_b, side="left"), 0, nn - 1)
+        a = np.minimum(a, bnd)  # degenerate guards
+        Yl_needed = int(np.max(bnd - a)) + 2 * m
+        starts = np.maximum(a - m + h, 0).astype(np.int64)
+        # starts must be non-decreasing for the band ordering invariants
+        starts = np.maximum.accumulate(starts)
+        return starts, Yl_needed
 
     # -- device data ---------------------------------------------------------
     def _sharding(self, ndim: int) -> NamedSharding:
@@ -1127,8 +1192,15 @@ def build_domain_executor(
             pd["_rng"] = pd["_rng"][0]
             pd["_migof"] = pd["_migof"][0]
             pd["_haloof"] = pd["_haloof"][0]
+            st0 = pd["state"]
+            # requeue preserves halt states (cf. engine._run_block: the
+            # public execute() pipelines dispatch ahead of the error pull)
             pd["state"] = jnp.where(
-                pd["_active"], jnp.int32(StatusCode.Evaluate), pd["state"]
+                pd["_active"]
+                & (st0 < MIN_ERROR_CODE)
+                & (st0 != StatusCode.StopAllExecution),
+                jnp.int32(StatusCode.Evaluate),
+                st0,
             )
             if rk45_mode:
                 from parcels_tpu._core.engine import rk45_chunk_start_dt

@@ -295,6 +295,15 @@ def run_streamed(shape, npart, dt, days):
             flush=True,
         )
         results[label] = rate
+        # free this leg's device residency (fields + derived tables +
+        # executor-held SoA copies) before the next leg: both legs sharing
+        # one 16 GB chip in one process measured ResourceExhausted (r5)
+        import gc
+
+        object.__setattr__(fs, "_device_cache", None)
+        fs._executor_cache.clear()
+        del pset
+        gc.collect()
     ratio = results["streamed"] / max(results["resident"], 1e-9)
     print(f"streaming overhead: streamed/resident = {ratio:.2f}", flush=True)
     return results
