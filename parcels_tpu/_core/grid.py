@@ -71,6 +71,8 @@ class GridSpec:
     # where the local lat slab is halo-extended past the band edge but OOB
     # must be judged against the global domain (parallel/domain.py).
     y_oob_bounds: tuple[float, float] | None = None
+    # X-axis twin (2-D tile decomposition, parallel/tiles.py)
+    x_oob_bounds: tuple[float, float] | None = None
 
 
 class XGrid(BaseGrid):
@@ -495,7 +497,9 @@ def grid_search(spec: GridSpec, garrs: dict, z, y, x, ei=None, lookup_meta: dict
         eta = jnp.zeros(y.shape, dtype=y.dtype)
 
     if "X" in spec.axes:
-        xi, xsi = index_search.search_1d(garrs["lon"], x, spec.lon_uniform)
+        xi, xsi = index_search.search_1d(
+            garrs["lon"], x, spec.lon_uniform, oob_bounds=spec.x_oob_bounds
+        )
     else:
         xi = jnp.zeros(x.shape, dtype=jnp.int32)
         xsi = jnp.zeros(x.shape, dtype=x.dtype)

@@ -166,7 +166,7 @@ class ParticleSet:
         # them. They are not particle variables: exclude them from the
         # compatibility check and concat fresh invalid entries where missing.
         def _vars(d):
-            return {k for k in d if not k.startswith("_sc_")}
+            return {k for k in d if not k.startswith(("_sc_", "_uxc_"))}
 
         if _vars(self._data) != _vars(other._data):
             raise ValueError("ParticleSets have different particle variables.")
@@ -175,7 +175,7 @@ class ParticleSet:
         a2 = np.asarray(other._data["_active"])
 
         def _sc_fill(k, n, like):
-            if k == "_sc_key":
+            if k in ("_sc_key", "_uxc_key"):
                 return np.full((n,) + like.shape[1:], -1, dtype=like.dtype)
             return np.zeros((n,) + like.shape[1:], dtype=like.dtype)
 
@@ -473,7 +473,13 @@ class ParticleSet:
         windowed = self.fieldset._time_window is not None
         if domain is not None:
             from parcels_tpu.parallel.domain import build_domain_executor
+            from parcels_tpu.parallel.tiles import XYTileDomain, build_tile_executor
 
+            build_dom = (
+                build_tile_executor
+                if isinstance(domain, XYTileDomain)
+                else build_domain_executor
+            )
             key = (
                 tuple(kernels), sign_dt, rk45_mode, "domain", lockstep_w, id(domain),
                 # the resolved migration transport is baked into the trace
@@ -484,7 +490,7 @@ class ParticleSet:
             )
             cache = self.fieldset._executor_cache
             if key not in cache:
-                cache[key] = build_domain_executor(
+                cache[key] = build_dom(
                     tuple(kernels), domain, sign_dt=sign_dt, rk45_mode=rk45_mode,
                     lockstep_w=lockstep_w,
                 )

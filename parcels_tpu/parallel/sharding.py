@@ -142,8 +142,9 @@ def shard_particleset(pset, pmesh):
     """Bind a ParticleSet to a ParticleMesh or YBandDomain: future execute()
     calls run sharded over the corresponding device mesh."""
     from parcels_tpu.parallel.domain import YBandDomain
+    from parcels_tpu.parallel.tiles import XYTileDomain
 
-    if isinstance(pmesh, YBandDomain):
+    if isinstance(pmesh, (YBandDomain, XYTileDomain)):
         pset._domain = pmesh
     else:
         pset._pmesh = pmesh
