@@ -142,3 +142,10 @@ __all__ = [
     "get_mesh",
     "read_particlefile",
 ]
+
+# register the ``ds.sgrid`` accessor on real xarray when present
+# (reference _sgrid/accessor.py:12); xrlite datasets carry it natively
+from parcels_tpu._sgrid import register_xarray_accessor as _reg_sgrid
+
+_reg_sgrid()
+del _reg_sgrid

@@ -20,6 +20,8 @@ from typing import Literal
 from parcels_tpu import xrlite as xr
 
 __all__ = [
+    "SgridAccessor",
+    "register_xarray_accessor",
     "FaceNodePadding",
     "Padding",
     "SGrid2DMetadata",
@@ -474,3 +476,57 @@ def assert_metadata_ds_consistency(ds: xr.Dataset, metadata) -> None:
                     f"Face dimension {fnp.face!r} has size {sizes[fnp.face]} but padding "
                     f"{fnp.padding.value!r} with {sizes[fnp.node]} nodes implies {expected}."
                 )
+
+
+# ---------------------------------------------------------------------------
+# ``ds.sgrid`` accessor (reference _sgrid/accessor.py:12-92)
+# ---------------------------------------------------------------------------
+
+
+class SgridAccessor:
+    """``ds.sgrid`` accessor: SGRID-aware metadata/rename/paired-isel.
+
+    Mirror of the reference's xarray dataset accessor
+    (_sgrid/accessor.py:13-92). Works on both xrlite datasets (always —
+    wired as a property on xrlite.Dataset) and real xarray datasets
+    (registered via ``xr.register_dataset_accessor`` when xarray is
+    importable; this container ships without it).
+    """
+
+    def __init__(self, xarray_obj):
+        self._ds = xarray_obj
+
+    @property
+    def metadata(self):
+        return parse_sgrid_metadata(self._ds)
+
+    def rename(self, name_dict: dict) -> "object":
+        """Rename variables/dims AND the attached SGRID metadata
+        (reference accessor.py:25-33)."""
+        return rename_sgrid_dataset(self._ds, name_dict)
+
+    def isel(self, indexers: dict | None = None, **indexers_kwargs):
+        """Padding-aware paired selection over node/face dims
+        (reference accessor.py:46-92)."""
+        return sgrid_isel(self._ds, indexers, **indexers_kwargs)
+
+    def assert_consistent(self) -> None:
+        assert_metadata_ds_consistency(self._ds, self.metadata)
+
+
+def register_xarray_accessor() -> bool:
+    """Register ``Dataset.sgrid`` on REAL xarray when importable.
+
+    Returns True when registered (or already present), False when xarray
+    is absent (this container). Called at package import
+    (parcels_tpu/__init__.py) so user code written against the
+    reference's ``ds.sgrid`` API ports unchanged wherever xarray exists.
+    """
+    try:
+        import xarray as _xr
+    except ImportError:
+        return False
+    if hasattr(_xr.Dataset, "sgrid"):
+        return True
+    _xr.register_dataset_accessor("sgrid")(SgridAccessor)
+    return True

@@ -113,11 +113,57 @@ def list_remote_datasets(purpose: Literal["testing", "tutorial", "any"] = "any")
     return [k for k, p in _REGISTRY.items() if p == purpose]
 
 
+#: upstream data repository the reference fetches from via pooch
+#: (reference _datasets/remote.py:14-16, 129-133)
+_DATA_REPO_TAG = os.environ.get("PARCELS_DATA_REPO_TAG", "v2025.08.28")
+_DATA_URL = f"https://github.com/Parcels-code/parcels-data/raw/{_DATA_REPO_TAG}"
+
+
+def _try_download(name: str) -> "Path | None":
+    """Fetch a registry entry from the upstream data repo into the cache.
+
+    Mirrors the reference's pooch layout: NetCDF entries live under
+    ``data/<name>.nc``, zarr entries as ``data-zarr/<name>.zip`` (unzipped
+    into the cache). Any network failure returns None — this container has
+    zero egress, so the caller falls through to the local-equivalent tier;
+    with egress present this is the reference's download path
+    (remote.py:19-258). Disable outright with PARCELS_NO_DOWNLOAD=1.
+    """
+    if os.environ.get("PARCELS_NO_DOWNLOAD"):
+        return None
+    import io
+    import urllib.request
+    import zipfile
+
+    home = _data_home()
+    for url, kind in (
+        (f"{_DATA_URL}/data/{name}.nc", "nc"),
+        (f"{_DATA_URL}/data-zarr/{name}.zip", "zarr"),
+    ):
+        try:
+            with urllib.request.urlopen(url, timeout=15) as resp:
+                blob = resp.read()
+        except OSError:
+            continue
+        target = home / name
+        target.parent.mkdir(parents=True, exist_ok=True)
+        if kind == "nc":
+            out = target.with_suffix(".nc")
+            out.write_bytes(blob)
+            return out
+        out = target.with_suffix(".zarr")
+        with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+            zf.extractall(out)
+        return out
+    return None
+
+
 def open_remote_dataset(name: str, purpose: Literal["testing", "tutorial", "any"] = "any"):
     """Open a registered remote dataset (reference remote.py:284-320).
 
-    Resolution order: local cache under ``PARCELS_DATA_HOME`` -> generated
-    local equivalent (benchmark entries) -> no-egress error.
+    Resolution order: local cache under ``PARCELS_DATA_HOME`` -> download
+    from the upstream data repo (when egress exists) -> generated local
+    equivalent (benchmark entries) -> no-egress error.
     """
     if name not in _REGISTRY:
         available = list_remote_datasets(purpose)
@@ -133,6 +179,16 @@ def open_remote_dataset(name: str, purpose: Literal["testing", "tutorial", "any"
             from parcels_tpu.io import open_netcdf_dataset
 
             return open_netcdf_dataset(candidate)
+
+    fetched = _try_download(name)
+    if fetched is not None:
+        if fetched.suffix == ".zarr":
+            from parcels_tpu.io import open_zarr_dataset
+
+            return open_zarr_dataset(fetched)
+        from parcels_tpu.io import open_netcdf_dataset
+
+        return open_netcdf_dataset(fetched)
 
     if name in _LOCAL_EQUIVALENTS:
         import warnings

@@ -130,6 +130,14 @@ class Dataset:
         return dict(self._sizes)
 
     @property
+    def sgrid(self):
+        """SGRID accessor (reference _sgrid/accessor.py:12): metadata /
+        rename / padding-aware paired isel on this dataset."""
+        from parcels_tpu._sgrid import SgridAccessor
+
+        return SgridAccessor(self)
+
+    @property
     def dims(self):
         return self.sizes
 

