@@ -34,7 +34,7 @@ def _sample_uv(fs, x, y):
     fsv = fs.build_views(fs.device_arrays())
     n = len(x)
     out = fsv.UV.eval(
-        jnp.zeros(n, jnp.float64),
+        jnp.zeros(n, jnp.float32),
         jnp.zeros(n, jnp.float32),
         jnp.asarray(np.asarray(y, np.float32)),
         jnp.asarray(np.asarray(x, np.float32)),
@@ -85,7 +85,7 @@ def test_cgrid_tracer_piecewise_constant():
     xs = np.array([20_500.0, 21_000.0], np.float32)
     ys = np.array([30_000.0, 30_300.0], np.float32)
     vals = np.asarray(
-        fsv.P.eval(jnp.zeros(2, jnp.float64), jnp.zeros(2, jnp.float32), jnp.asarray(ys), jnp.asarray(xs))
+        fsv.P.eval(jnp.zeros(2, jnp.float32), jnp.zeros(2, jnp.float32), jnp.asarray(ys), jnp.asarray(xs))
     )
     assert vals[0] == vals[1]
     assert np.isfinite(vals).all() and (vals != 0).all()
